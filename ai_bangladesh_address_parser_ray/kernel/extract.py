@@ -1,0 +1,131 @@
+"""The fused 9-stage extraction kernel (pipeline stages 1-9 in one call).
+
+Behavioral twin of the reference's ProductionAddressExtractor.extract
+(``/root/reference/src/core/extractor.py:110-339``), with the stage fan-out
+and evidence merge done in-process so evidence never leaves the task:
+
+  1 script detect (metadata)       -> kernel.script_detect
+  2 canonical normalize            -> kernel.normalizer
+  3 FSM parse        (source fsm)  -> kernel.fsm
+  4 regex extractors (source regex)-> kernel.extractors
+  5 spaCy NER — intentionally absent: spaCy isn't in this environment and the
+    stage is optional in the reference (stage_config.py profiles); the stage
+    registry leaves a documented slot.
+  6-7 gazetteer + geo validate/enrich -> kernel.gazetteer
+  8 conflict resolution            -> kernel.resolver
+  9 output projection + overall confidence (mean of resolved confidences,
+    ``extractor.py:353-364``)
+
+Deterministic: given the same text and config the output is bit-identical —
+the property the distributed pipeline's per-turn equality invariant rests on.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from .. import COMPONENT_FIELDS
+from .extractors import REGEX_EXTRACTORS
+from .fsm import FSM_CONFIDENCE, fsm_parse
+from .gazetteer import fuzzy_match_area, area_display, validate_and_enrich
+from .normalizer import normalize
+from .script_detect import detect_script
+
+# per-component minimum confidences; defaults mirror the reference
+# (`src/core/config/component_thresholds.py:21-31`)
+DEFAULT_THRESHOLDS = {
+    "house_number": 0.70, "road": 0.70, "area": 0.65, "district": 0.75,
+    "division": 0.80, "postal_code": 0.80, "flat_number": 0.70,
+    "floor_number": 0.70, "block_number": 0.70,
+}
+
+_STAGE_DEFAULTS = {"fsm": True, "regex": True, "gazetteer": True}
+
+
+class ExtractionKernel:
+    """Configurable kernel; one instance per extraction actor.
+
+    ``stages``: toggle evidence stages like the reference's stage_config
+    profiles (`tools/control_stages.py:34-60`). normalize + resolve + output
+    are mandatory, as in the reference (stages 2, 8, 9 forced on).
+    """
+
+    def __init__(self, thresholds: Optional[Dict[str, float]] = None,
+                 stages: Optional[Dict[str, bool]] = None):
+        self.thresholds = dict(DEFAULT_THRESHOLDS)
+        if thresholds:
+            self.thresholds.update(thresholds)
+        self.stages = dict(_STAGE_DEFAULTS)
+        if stages:
+            self.stages.update(stages)
+
+    def extract(self, text: str, detailed: bool = False) -> Dict:
+        script = detect_script(text)            # stage 1
+        norm = normalize(text)                  # stage 2
+
+        evidence: Dict[str, list] = {f: [] for f in COMPONENT_FIELDS}
+
+        if self.stages["fsm"]:                  # stage 3
+            for comp, val in fsm_parse(norm).items():
+                if val:
+                    evidence[comp].append(
+                        {"value": val, "confidence": FSM_CONFIDENCE,
+                         "source": "fsm"})
+
+        if self.stages["regex"]:                # stage 4
+            for comp, fn in REGEX_EXTRACTORS.items():
+                hit = fn(norm)
+                if hit:
+                    evidence[comp].append(
+                        {"value": hit[0], "confidence": hit[1],
+                         "source": "regex"})
+
+        if self.stages["gazetteer"]:            # stages 6-7
+            if not evidence["area"]:
+                # fuzzy back-extraction (reference gazetteer.py:321-377)
+                for tok in norm.replace(",", " ").split():
+                    if len(tok) >= 5 and tok.isalpha():
+                        hit = fuzzy_match_area(tok)
+                        if hit:
+                            evidence["area"].append(
+                                {"value": area_display(hit),
+                                 "confidence": 0.75,
+                                 "source": "gazetteer_corrected"})
+                            break
+            validate_and_enrich(evidence)
+
+        resolved = resolve_with(evidence, self.thresholds)   # stage 8
+
+        components = {                          # stage 9
+            f: (resolved[f]["value"] if resolved.get(f) else "")
+            for f in COMPONENT_FIELDS
+        }
+        confs = [r["confidence"] for r in resolved.values() if r]
+        overall = sum(confs) / len(confs) if confs else 0.0
+
+        out = {
+            "components": components,
+            "overall_confidence": overall,
+            "normalized_address": norm,
+            "original_address": text,
+        }
+        if detailed:
+            out["metadata"] = {
+                "script": script,
+                "component_details": resolved,
+                "enabled_stages": dict(self.stages),
+            }
+        return out
+
+
+def resolve_with(evidence_map, thresholds):
+    from .resolver import resolve
+    return resolve(evidence_map, thresholds)
+
+
+_DEFAULT_KERNEL = ExtractionKernel()
+
+
+def extract(text: str, detailed: bool = False) -> Dict:
+    """Module-level extraction with default config (oracle entry point)."""
+    return _DEFAULT_KERNEL.extract(text, detailed)

@@ -1,0 +1,229 @@
+"""Per-field regex extractors (pipeline stage 4, "regex" evidence source).
+
+A curated re-expression of the reference's prioritized pattern banks
+(``/root/reference/src/regex/{house_number,road,area,district,postal_code,
+flat_number,floor_number,block}_processor.py``): priority-ordered compiled
+patterns with positional and cross-field false-positive guards. Patterns are
+compiled at import time so ``map_batches`` tasks pay zero setup.
+
+Every extractor takes the *normalized* text (see ``normalizer.py``) and
+returns ``(value, confidence) | None`` deterministically (first matching
+pattern in priority order wins, as in the reference's priority scoring,
+``house_number_processor.py:997-1110``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+from .gazetteer import AREAS, DISTRICT_TO_DIVISION, DIVISIONS, area_display
+
+Hit = Optional[Tuple[str, float]]
+
+_NUMTOK = r"\d+(?:/[A-Za-z0-9]+)?"
+
+# ---------------------------------------------------------------- house
+_HOUSE_PATTERNS = [
+    (re.compile(rf"\bHouse\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)", re.I), 0.95),
+    (re.compile(rf"\bHolding\s*(?:No\.?\s*)?-?\s*({_NUMTOK})", re.I), 0.92),
+    (re.compile(rf"\bHouse\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.90),
+    (re.compile(rf"\bH\s*[-.]?\s*({_NUMTOK})\b", re.I), 0.85),
+    # leading positional: "105/A, Central Road ..."
+    (re.compile(rf"^\s*(\d{{1,4}}(?:/[A-Za-z0-9]+)?)\s*[, ]"), 0.75),
+]
+_POSTAL_SHAPE = re.compile(r"^\d{4}$")
+
+
+def extract_house(text: str) -> Hit:
+    n = len(text) or 1
+    for rx, conf in _HOUSE_PATTERNS:
+        m = rx.search(text)
+        if not m:
+            continue
+        val = m.group(1)
+        # guard: a bare 4-digit token in the trailing third is postal-shaped
+        # (reference guard `_is_postal_code`, house_number_processor.py:447)
+        if _POSTAL_SHAPE.match(val) and m.start(1) > 0.66 * n:
+            continue
+        return val, conf
+    return None
+
+
+# ----------------------------------------------------------------- road
+_ROAD_PATTERNS = [
+    (re.compile(r"\bRoad\s*No\.?\s*-?\s*(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)", re.I), 0.95),
+    (re.compile(r"\bRoad\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.90),
+    (re.compile(r"\bR\s*[-.]\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
+]
+_NAMED_ROAD = re.compile(r"\b(?:Road|Lane|Avenue)\b\s*$", re.I)
+_FEET_ROAD = re.compile(r"\b(\d+\s*feet\s*road)\b", re.I)
+
+
+def extract_road(text: str) -> Hit:
+    for rx, conf in _ROAD_PATTERNS:
+        m = rx.search(text)
+        if m:
+            return m.group(1), conf
+    m = _FEET_ROAD.search(text)
+    if m:
+        return m.group(1), 0.90
+    # named roads: a comma segment ending in Road/Lane/Avenue
+    for seg in text.split(","):
+        seg = seg.strip()
+        if seg and _NAMED_ROAD.search(seg) and len(seg) <= 48:
+            return seg, 0.85
+    return None
+
+
+# ----------------------------------------------------------------- area
+_AREA_RE = re.compile(
+    r"\b(" + "|".join(sorted(AREAS, key=len, reverse=True)) + r")\b", re.I
+)
+
+
+def extract_area(text: str) -> Hit:
+    m = _AREA_RE.search(text)
+    if m:
+        return area_display(m.group(1).lower()), 0.90
+    return None
+
+
+# ------------------------------------------------------------- district
+_DISTRICTS = sorted(DISTRICT_TO_DIVISION, key=len, reverse=True)
+_DISTRICT_EXPLICIT = re.compile(r"\bDistrict\s*-?\s*([A-Za-z' ]+?)\b", re.I)
+_DISTRICT_RE = re.compile(
+    r"\b(" + "|".join(re.escape(d) for d in _DISTRICTS) + r")\b", re.I
+)
+_DISTRICT_DISPLAY = {d: d.title() for d in DISTRICT_TO_DIVISION}
+_DISTRICT_DISPLAY["cox's bazar"] = "Cox's Bazar"
+
+
+def extract_district(text: str) -> Hit:
+    m = _DISTRICT_EXPLICIT.search(text)
+    if m and m.group(1).strip().lower() in DISTRICT_TO_DIVISION:
+        return _DISTRICT_DISPLAY[m.group(1).strip().lower()], 0.95
+    # last mention wins: districts come at the tail of Bangladeshi addresses
+    last = None
+    for m in _DISTRICT_RE.finditer(text):
+        last = m
+    if last:
+        return _DISTRICT_DISPLAY[last.group(1).lower()], 0.90
+    return None
+
+
+# ------------------------------------------------------------- division
+_DIVISION_EXPLICIT = re.compile(
+    r"\b(" + "|".join(DIVISIONS) + r")\s+Division\b", re.I
+)
+_DIVISION_DISPLAY = {d.lower(): d for d in DIVISIONS}
+
+
+def extract_division(text: str) -> Hit:
+    m = _DIVISION_EXPLICIT.search(text)
+    if m:
+        return _DIVISION_DISPLAY[m.group(1).lower()], 0.95
+    return None
+
+
+# --------------------------------------------------------------- postal
+_POSTAL_EXPLICIT = re.compile(
+    r"\b(?:Post\s*Code|Postal\s*Code|Post|P\.?O\.?|Zip)\s*-?\s*(\d{4})\b", re.I
+)
+# city-dash requires a real word prefix ("Dhaka-1216"), never the structural
+# tokens H-12 / Road-8 / Flat-D2 (reference guard: postal_code_processor.py
+# pattern bank restricts to city/area names)
+_CITY_DASH = re.compile(r"\b([A-Za-z]{3,})\s*-\s*(\d{4})\b")
+_CITY_DASH_BAD = {"house", "road", "flat", "floor", "block", "level",
+                  "holding", "sector", "lane", "apartment"}
+_FOUR_DIGIT = re.compile(r"\b(\d{4})\b")
+_POSTAL_BAD_CTX = re.compile(r"\b(?:House|Road|Flat|H|R)\s*(?:No\.?\s*)?-?\s*$", re.I)
+
+
+def _postal_valid(code: str) -> bool:
+    return code.isdigit() and 1000 <= int(code) <= 9999
+
+
+def extract_postal(text: str) -> Hit:
+    m = _POSTAL_EXPLICIT.search(text)
+    if m and _postal_valid(m.group(1)):
+        return m.group(1), 1.00
+    for m in _CITY_DASH.finditer(text):
+        if (m.group(1).lower() not in _CITY_DASH_BAD
+                and _postal_valid(m.group(2))):
+            return m.group(2), 0.98
+    # standalone 4-digit near the end, guarded against house/road/flat context
+    n = len(text) or 1
+    last = None
+    for m in _FOUR_DIGIT.finditer(text):
+        last = m
+    if last and _postal_valid(last.group(1)):
+        prefix = text[: last.start(1)]
+        if _POSTAL_BAD_CTX.search(prefix):
+            return None
+        pos = last.start(1) / n
+        if pos >= 0.8:
+            return last.group(1), 0.85
+        if pos >= 0.5:
+            return last.group(1), 0.70
+    return None
+
+
+# ----------------------------------------------------------------- flat
+_FLAT_PATTERNS = [
+    (re.compile(r"\bFlat\s*(?:No\.?\s*)?-?\s*([A-Za-z0-9]+(?:-[A-Za-z0-9]+)?)\b", re.I), 0.90),
+    (re.compile(r"\bApartment\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
+]
+
+
+def extract_flat(text: str) -> Hit:
+    for rx, conf in _FLAT_PATTERNS:
+        m = rx.search(text)
+        if m and m.group(1).lower() not in ("no", "number"):
+            return m.group(1), conf
+    return None
+
+
+# ---------------------------------------------------------------- floor
+_FLOOR_PATTERNS = [
+    (re.compile(r"\b(\d+)\s*(?:st|nd|rd|th)\s*Floor\b", re.I), 0.90),
+    (re.compile(r"\bFloor\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
+    (re.compile(r"\bLevel\s*-?\s*(\d+)\b", re.I), 0.80),
+]
+
+
+def extract_floor(text: str) -> Hit:
+    for rx, conf in _FLOOR_PATTERNS:
+        m = rx.search(text)
+        if m:
+            return m.group(1), conf
+    return None
+
+
+# ---------------------------------------------------------------- block
+_BLOCK_PATTERNS = [
+    (re.compile(r"\bBlock\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.90),
+    (re.compile(r"\bSector\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.85),
+    (re.compile(r"\b([A-Za-z0-9]{1,3})\s+Block\b", re.I), 0.80),
+]
+
+
+def extract_block(text: str) -> Hit:
+    for rx, conf in _BLOCK_PATTERNS:
+        m = rx.search(text)
+        if m:
+            return m.group(1), conf
+    return None
+
+
+REGEX_EXTRACTORS = {
+    "house_number": extract_house,
+    "road": extract_road,
+    "area": extract_area,
+    "district": extract_district,
+    "division": extract_division,
+    "postal_code": extract_postal,
+    "flat_number": extract_flat,
+    "floor_number": extract_floor,
+    "block_number": extract_block,
+}

@@ -1,0 +1,264 @@
+"""Deterministic synthetic transcript corpus (fixtures + bench input).
+
+Implements FIXTURES.md T1-T3 over the ``input_hint`` schema
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us])``:
+
+- plants K underlying *entities* (Bangladeshi-address-shaped, assembled from
+  the kernel gazetteer fixture) with a Zipfian area distribution so blocking
+  skew (Dhaka-sized blocks) is exercised at test scale;
+- renders each entity through multiple surface-form families (canonical,
+  compact ``H-12, R-5``, ``#`` notation, Bangla script + numerals, typo'd
+  spellings from the normalizer's correction list, noisy extras) — the same
+  families as the reference smoke corpus (``tests/simple_test.py:63-76``);
+- embeds mentions in multi-turn conversations among filler turns;
+- emits the ground-truth ``mentions (conv_id, turn_idx, entity_id)`` and
+  ``entities`` tables for pairwise-F1 evaluation.
+
+Everything derives from ``random.Random(seed)`` — same args, same bytes, in
+any process (the basis of the resume/byte-identity tests).
+
+Entity-separability guarantee: within one area, each entity gets a UNIQUE
+road value, so two distinct entities share at most
+{area, district, postal} = weight 0.75 < 0.85 match threshold under the
+kernel scorer, while same-entity variant pairs score ~1.0. This makes the
+planted clustering information-theoretically recoverable, which is what the
+pairwise-F1 >= 0.99 gate measures.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+
+from ..kernel.gazetteer import AREAS, area_display
+
+_BN_DIGITS = {"0": "০", "1": "১", "2": "২", "3": "৩", "4": "৪",
+              "5": "৫", "6": "৬", "7": "৭", "8": "৮", "9": "৯"}
+_BN_AREA = {"dhanmondi": "ধানমন্ডি", "mirpur": "মিরপুর", "banani": "বনানী",
+            "gulshan": "গুলশান", "uttara": "উত্তরা", "jigatola": "জিগাতলা",
+            "mohammadpur": "মোহাম্মদপুর", "halishahar": "হালিশহর",
+            "agrabad": "আগ্রাবাদ", "bashundhara": "বসুন্ধরা"}
+_BN_DISTRICT = {"Dhaka": "ঢাকা", "Chattogram": "চট্টগ্রাম", "Sylhet": "সিলেট",
+                "Rajshahi": "রাজশাহী", "Khulna": "খুলনা", "Barisal": "বরিশাল",
+                "Rangpur": "রংপুর", "Mymensingh": "ময়মনসিংহ"}
+_TYPO_AREA = {"gulshan": "gulisthan", "jigatola": "zigatola",
+              "mirpur": "mirpoor", "dhanmondi": "dhanmondy",
+              "uttara": "uttora", "banani": "bonani",
+              "mohammadpur": "mohammedpur"}
+_TYPO_DISTRICT = {"Dhaka": "daka", "Chattogram": "chittagong"}
+
+_TEMPLATES = [
+    "Please deliver the package to {addr} before noon.",
+    "Customer shipping address: {addr}",
+    "The pickup location is {addr}, call on arrival.",
+    "Invoice billed to {addr}.",
+    "Meet me at {addr} tomorrow.",
+    "Registered address on file - {addr}",
+    "Send the documents to {addr} by courier.",
+    "New drop-off point: {addr}",
+]
+
+_FILLER_WORDS = (
+    "okay thanks let me check that for you one moment please the order "
+    "status shows pending confirm payment received will update shortly "
+    "could you share more details about the issue we are looking into it "
+    "system restarted job finished without errors metrics look nominal"
+).split()
+
+_TOOLS = ["", "", "", "search", "geocode", "crm_lookup", "ticket"]
+_ROLES = ["user", "assistant", "tool"]
+
+_BASE_TS = 1_700_000_000_000_000  # fixed epoch micros; no wall-clock reads
+
+
+def _bn_digits(s: str) -> str:
+    return "".join(_BN_DIGITS.get(c, c) for c in s)
+
+
+def _zipf_choice(rng: random.Random, items: List, a: float = 1.2):
+    weights = [1.0 / (i + 1) ** a for i in range(len(items))]
+    return rng.choices(items, weights=weights, k=1)[0]
+
+
+def generate_entities(n_entities: int, seed: int = 42) -> List[Dict[str, str]]:
+    """K gold entities with Zipf-skewed areas; unique road per area."""
+    rng = random.Random(seed)
+    areas = sorted(AREAS)  # deterministic rank order for the Zipf skew
+    road_counter: Dict[str, int] = {}
+    house_pool: Dict[str, List[int]] = {}
+    entities = []
+    for i in range(n_entities):
+        area = _zipf_choice(rng, areas)
+        district, division, codes = AREAS[area]
+        road_counter[area] = road_counter.get(area, 0) + 1
+        road = str(road_counter[area])  # unique per area => separability
+        if not house_pool.get(area):
+            house_pool[area] = rng.sample(range(1, 10_000), k=2_000)
+        house = str(house_pool[area].pop())  # unique per area as well
+        if rng.random() < 0.25:
+            house += "/" + rng.choice("ABCDE")
+        ent = {
+            "entity_id": f"ent-{i:06d}",
+            "house_number": house,
+            "road": road,
+            "area": area_display(area),
+            "district": district,
+            "division": division,
+            "postal_code": codes[0],
+            "flat_number": rng.choice(["", "", f"{rng.choice('ABCD')}{rng.randint(1, 9)}"]),
+            "floor_number": rng.choice(["", "", str(rng.randint(1, 12))]),
+            "block_number": rng.choice(["", "", "", rng.choice("ABCDEFG")]),
+        }
+        entities.append(ent)
+    return entities
+
+
+def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str:
+    """Render one surface form of an entity (variant family in 0..5)."""
+    h, r = ent["house_number"], ent["road"]
+    area, district, postal = ent["area"], ent["district"], ent["postal_code"]
+    extras = []
+    if ent["flat_number"] and rng.random() < 0.5:
+        extras.append(f"Flat {ent['flat_number']}")
+    if ent["floor_number"] and rng.random() < 0.5:
+        extras.append(f"{ent['floor_number']}th floor")
+    if ent["block_number"] and rng.random() < 0.5:
+        extras.append(f"Block {ent['block_number']}")
+    prefix = (", ".join(extras) + ", ") if extras else ""
+
+    v = variant % 6
+    if v == 0:      # canonical
+        addr = f"{prefix}House {h}, Road {r}, {area}, {district}-{postal}"
+    elif v == 1:    # compact
+        addr = f"{prefix}H-{h}, R-{r}, {area.lower()}, {district.lower()}"
+    elif v == 2:    # hash notation
+        addr = f"{prefix}House# {h}, Road# {r}, {area}, {district} {postal}"
+    elif v == 3:    # Bangla keywords + numerals
+        bn_area = _BN_AREA.get(area.lower(), area)
+        bn_dist = _BN_DISTRICT.get(district, district)
+        addr = (f"{prefix}বাড়ি {_bn_digits(h)}, রোড {_bn_digits(r)}, "
+                f"{bn_area}, {bn_dist}-{_bn_digits(postal)}")
+    elif v == 4:    # typos
+        t_area = _TYPO_AREA.get(area.lower(), area.lower())
+        t_dist = _TYPO_DISTRICT.get(district, district.lower())
+        addr = f"{prefix}Hose {h}, Raod {r}, {t_area}, {t_dist}"
+    else:           # noisy / building name
+        addr = (f'{prefix}"{rng.choice(["Greenhouse", "Dream Tower", "Rose Villa"])}", '
+                f"House No {h}, Road No {r}, {area}, {district}-{postal} "
+                f"(Near {rng.choice(['Station', 'Market', 'School'])})")
+    return rng.choice(_TEMPLATES).format(addr=addr)
+
+
+def _filler(rng: random.Random) -> str:
+    n = rng.randint(5, 18)
+    return " ".join(rng.choice(_FILLER_WORDS) for _ in range(n))
+
+
+def generate_transcripts(
+    n_convs: int = 100,
+    turns_per_conv: int = 10,
+    n_entities: int = 40,
+    mention_fraction: float = 0.35,
+    seed: int = 42,
+) -> Tuple[pa.Table, pa.Table, pa.Table]:
+    """-> (transcripts, mentions, entities) Arrow tables. Fully deterministic."""
+    rng = random.Random(seed * 1_000_003 + 17)
+    entities = generate_entities(n_entities, seed)
+
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    m_conv, m_turn, m_ent = [], [], []
+
+    for ci in range(n_convs):
+        conv_id = f"conv-{ci:07d}"
+        for ti in range(turns_per_conv):
+            role = _ROLES[ti % 3] if rng.random() < 0.8 else rng.choice(_ROLES)
+            tool = rng.choice(_TOOLS) if role == "tool" else ""
+            if rng.random() < mention_fraction:
+                ent = _zipf_choice(rng, entities)
+                text = render_mention(ent, rng.randint(0, 5), rng)
+                m_conv.append(conv_id)
+                m_turn.append(ti)
+                m_ent.append(ent["entity_id"])
+            else:
+                text = _filler(rng)
+            conv_ids.append(conv_id)
+            turn_idxs.append(ti)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(_BASE_TS + ci * 3_600_000_000 + ti * 45_000_000)
+
+    transcripts = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+    })
+    mentions = pa.table({
+        "conv_id": pa.array(m_conv, pa.string()),
+        "turn_idx": pa.array(m_turn, pa.int32()),
+        "entity_id": pa.array(m_ent, pa.string()),
+    })
+    ent_table = pa.table({
+        k: pa.array([e[k] for e in entities], pa.string())
+        for k in entities[0]
+    }) if entities else pa.table({"entity_id": pa.array([], pa.string())})
+    return transcripts, mentions, ent_table
+
+
+# scale presets keyed by the testdata sf dirs so `queries(sf_dir)` and bench
+# derive transcript volume from the driver-chosen scale factor
+_SF_PRESETS = {
+    "sf0.001": dict(n_convs=120, turns_per_conv=8, n_entities=40),
+    "sf0.01": dict(n_convs=1_200, turns_per_conv=8, n_entities=300),
+    "sf0.1": dict(n_convs=12_000, turns_per_conv=8, n_entities=2_500),
+}
+
+
+def synth_params_for(sf_dir: str) -> dict:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return dict(_SF_PRESETS.get(name, _SF_PRESETS["sf0.001"]))
+
+
+def synth_dir_for(sf_dir: str, root: str = "/tmp/abap_synth") -> str:
+    """Materialize (once) the deterministic transcript tables for an sf dir;
+    returns the directory containing transcripts/ mentions/ entities/."""
+    params = synth_params_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    out = os.path.join(root, name)
+    return write_transcript_tables(out, seed=42, **params)
+
+
+def write_transcript_tables(out_dir: str, seed: int = 42,
+                            shards: int = 8, **params) -> str:
+    """Write transcripts (sharded by conv hash -> resumable read layout),
+    mentions and entities as Parquet under ``out_dir``. Idempotent: if the
+    marker file exists the existing tables are reused."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
+    transcripts, mentions, entities = generate_transcripts(seed=seed, **params)
+    # shard by conv hash: one file per shard = the partition unit the
+    # linkage pipeline's manifests track
+    import zlib
+    convs = transcripts["conv_id"].to_pylist()
+    shard_of = [zlib.crc32(c.encode()) % shards for c in convs]
+    import pyarrow.compute as pc_
+    sh = pa.array(shard_of, pa.int32())
+    for s in range(shards):
+        part = transcripts.filter(pc_.equal(sh, s))
+        pq.write_table(part, os.path.join(out_dir, "transcripts", f"part-{s:05d}.parquet"))
+    pq.write_table(mentions, os.path.join(out_dir, "mentions.parquet"))
+    pq.write_table(entities, os.path.join(out_dir, "entities.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
