@@ -1,0 +1,129 @@
+"""The flagship pipeline: transcripts -> entity clusters (SURVEY.md §3.4).
+
+    read_parquet(transcripts)
+     -> normalize (stateless, zero-copy Arrow)
+     -> exact dedup on norm_text + extract-once + join back     [SHUFFLE 1]
+     -> blocking keys (batch explode; filler rows emit nothing)
+     -> groupby(block_key) pair generation, cap + window        [SHUFFLE 2]
+     -> pair dedup on pair_key                                  [SHUFFLE 2b]
+     -> ensemble scoring -> filter(match) -> edge table
+     -> iterative min-label propagation to fixed point          [SHUFFLE 3..k]
+     -> left-join cluster ids back to turns (singletons label themselves)
+
+Every wide step is keyed (norm_text / block_key / pair_key / node_id) and
+each expensive phase is checkpointable via CheckpointManager. Nothing here
+materializes the turn table on the driver; the only materialized datasets
+are the label table (O(mentions)) inside union-find.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import COMPONENT_FIELDS
+from ..stages.normalize import normalize_stage
+from ..stages.extract import dedup_extract_stage, extract_stage
+from ..stages.blocking import blocking_stage
+from ..stages.pairs import candidate_pairs_stage
+from ..stages.scoring import score_pairs_stage
+from ..stages.unionfind import connected_components
+from ..state.checkpoint import CheckpointManager, fingerprint
+
+
+@dataclass
+class LinkageConfig:
+    # physical knobs — sized for a 32-cpu node; at cluster scale raise
+    # num_partitions to ~2-4x total cores and concurrency per node count
+    extract_concurrency: int = 4
+    extract_batch_size: int = 1024
+    num_partitions: int = 16
+    block_cap: int = 64          # all-pairs blocks up to C(cap,2) pairs
+    block_window: int = 8        # sorted-neighborhood window beyond the cap
+    score_threshold: float = 0.85
+    max_uf_rounds: int = 12
+    dedup_exact: bool = True
+    checkpoint_dir: Optional[str] = None
+    thresholds: Optional[dict] = None
+    stages: Optional[dict] = None
+
+
+def _has_any_component(batch: pa.Table) -> pa.Table:
+    mask = None
+    for f in COMPONENT_FIELDS:
+        m = pc.greater(pc.utf8_length(pc.fill_null(batch[f], "")), 0)
+        mask = m if mask is None else pc.or_(mask, m)
+    return batch.filter(mask)
+
+
+def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
+                input_token: str = "inline"):
+    """transcripts: ray.data.Dataset with the (conv_id, turn_idx, role, text,
+    tool, ts) schema. Returns {"turns": Dataset with cluster_id per turn,
+    "edges": Dataset, "metrics": dict}.
+    """
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    cfg_fp = fingerprint(asdict(cfg), input_token)
+    metrics: dict = {}
+
+    # ---- phase 1: normalize + extract (SHUFFLE 1 inside dedup_extract)
+    def compute_extracted():
+        ds = normalize_stage(transcripts)
+        if cfg.dedup_exact:
+            return dedup_extract_stage(
+                ds, concurrency=cfg.extract_concurrency,
+                batch_size=cfg.extract_batch_size,
+                num_partitions=cfg.num_partitions,
+                thresholds=cfg.thresholds, stages=cfg.stages)
+        return extract_stage(
+            ds, concurrency=cfg.extract_concurrency,
+            batch_size=cfg.extract_batch_size,
+            thresholds=cfg.thresholds, stages=cfg.stages)
+
+    extracted = (ckpt.run("01_extracted", cfg_fp, compute_extracted)
+                 if cfg.checkpoint_dir else compute_extracted())
+
+    # ---- phase 2: blocking + candidate pairs (SHUFFLE 2)
+    def compute_pairs():
+        entity_rows = extracted.map_batches(
+            _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
+        blocked = blocking_stage(entity_rows)
+        return candidate_pairs_stage(
+            blocked, cap=cfg.block_cap, window=cfg.block_window)
+
+    pairs = (ckpt.run("02_pairs", cfg_fp, compute_pairs)
+             if cfg.checkpoint_dir else compute_pairs())
+
+    # ---- phase 3: scoring -> edges
+    def compute_edges():
+        scored = score_pairs_stage(pairs, threshold=cfg.score_threshold)
+        return scored.filter(expr="match == True")
+
+    edges = (ckpt.run("03_edges", cfg_fp, compute_edges)
+             if cfg.checkpoint_dir else compute_edges())
+
+    # ---- phase 4: transitive closure (SHUFFLE 3..k)
+    def compute_clusters():
+        return connected_components(
+            edges, num_partitions=cfg.num_partitions,
+            max_rounds=cfg.max_uf_rounds)
+
+    clusters = (ckpt.run("04_clusters", cfg_fp, compute_clusters)
+                if cfg.checkpoint_dir else compute_clusters())
+
+    # ---- phase 5: label every turn; nodes outside any edge are singletons
+    turns = extracted.join(
+        clusters, join_type="left_outer",
+        num_partitions=cfg.num_partitions, on=("node_id",),
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("cluster_id"), "cluster_id",
+            pc.fill_null(b["cluster_id"], b["node_id"])),
+        batch_format="pyarrow",
+    )
+
+    return {"turns": turns, "edges": edges, "clusters": clusters,
+            "metrics": metrics}

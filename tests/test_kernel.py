@@ -1,0 +1,278 @@
+"""Unit tests for the pure-Python kernel (no Ray)."""
+
+import pyarrow as pa
+import pytest
+
+from ai_bangladesh_address_parser_ray.kernel.normalizer import (
+    normalize, normalize_array,
+)
+from ai_bangladesh_address_parser_ray.kernel.extract import extract
+from ai_bangladesh_address_parser_ray.kernel.fsm import fsm_parse
+from ai_bangladesh_address_parser_ray.kernel.resolver import resolve
+from ai_bangladesh_address_parser_ray.kernel.compare import (
+    compare_components, score_pair, jaro_winkler, levenshtein, token_jaccard,
+)
+from ai_bangladesh_address_parser_ray.kernel.phonetic import (
+    soundex, minhash_band_keys,
+)
+from ai_bangladesh_address_parser_ray.kernel.validate_format import (
+    validate_address, format_address, suggest_areas,
+)
+
+SMOKE = [
+    "105/A, Central Road, gulisthan, Dhaka",
+    "House 12, Road 5, Mirpur 1, Dhaka",
+    "Flat A-3, Building 7, Bashundhara R/A, Dhaka",
+    "Banani, Dhaka",
+    "Gulshan 2, Dhaka",
+    "Dhanmondi 15, Dhaka",
+    '1152/C "Greenhouse", House# 45, Road# 08, Shapla Residential Area, '
+    "Halishahar, Chittagong-4219",
+    "101/1 west monipur House name- Dream house, 60 feet road, 4th floor, "
+    "flat- D2, Mirpur-2, Dhaka-1216",
+    "1/4, South Begun Bari (Master Bari), Tejgaon I/A, Tejgaon, Dhaka -1208. "
+    "(Near Satrasta)",
+    "৬ রোড, ৯ ব্লক, C, চন্দ্রিমা মডেল টাউন, মোহাম্মদপুর, ঢাকা।",
+    "৫৬ জিগাতলা, হাজী আবদুর রহমান লেন, ধানমন্ডি, ঢাকা-১২০৯",
+    "sottota tower, h107/2,Road 7, zigatola",
+    "Uttara, Sector 11, Road 13A, House 1, Floor 7B",
+]
+
+
+class TestNormalizer:
+    def test_bangla_numerals(self):
+        assert normalize("৫৬ জিগাতলা") == "56 Jigatola"
+
+    def test_keywords_and_places(self):
+        assert normalize("রোড ৭, ঢাকা") == "Road 7, Dhaka"
+
+    def test_corrections_word_boundary(self):
+        assert normalize("chittagong") == "Chattogram"
+        assert normalize("raod 5") == "Road 5"
+        # no mid-word replacement
+        assert "Chattogram" not in normalize("ctgx")
+
+    def test_hash_and_colon(self):
+        assert normalize("House# 45: Road") == "House No 45 Road"
+
+    def test_quotes_and_whitespace(self):
+        assert normalize('1152/C "Greenhouse" ,  Dhaka') == "1152/C Greenhouse, Dhaka"
+
+    def test_empty(self):
+        assert normalize("") == ""
+
+    def test_vectorized_matches_scalar(self):
+        arr = pa.array(SMOKE + ["", "no address here", "H#1: x,y"])
+        vec = normalize_array(arr).to_pylist()
+        assert vec == [normalize(t) for t in arr.to_pylist()]
+
+
+class TestExtractors:
+    def test_canonical(self):
+        c = extract("House 12, Road 5, Mirpur, Dhaka-1216")["components"]
+        assert c["house_number"] == "12"
+        assert c["road"] == "5"
+        assert c["area"] == "Mirpur"
+        assert c["district"] == "Dhaka"
+        assert c["division"] == "Dhaka"
+        assert c["postal_code"] == "1216"
+
+    def test_compact(self):
+        c = extract("H-12, R-5, mirpur, dhaka")["components"]
+        assert c["house_number"] == "12"
+        assert c["road"] == "5"
+        assert c["area"] == "Mirpur"
+
+    def test_hash_notation(self):
+        c = extract("House# 45, Road# 08, Halishahar, Chittagong-4219")["components"]
+        assert c["house_number"] == "45"
+        assert c["road"] == "08"
+        assert c["district"] == "Chattogram"
+        assert c["postal_code"] == "4219"
+
+    def test_bangla(self):
+        c = extract("বাড়ি ৫৬, রোড ৭, ধানমন্ডি, ঢাকা-১২০৯")["components"]
+        assert c["house_number"] == "56"
+        assert c["road"] == "7"
+        assert c["area"] == "Dhanmondi"
+        assert c["postal_code"] == "1209"
+
+    def test_typos(self):
+        c = extract("Hose 12, Raod 5, mirpoor, daka")["components"]
+        assert c["house_number"] == "12"
+        assert c["road"] == "5"
+        assert c["area"] == "Mirpur"
+        assert c["district"] == "Dhaka"
+
+    def test_fuzzy_area_variant(self):
+        c = extract("105/A, Central Road, gulisthan, Dhaka")["components"]
+        assert c["area"] == "Gulshan"
+
+    def test_flat_floor_block(self):
+        c = extract("Flat A-3, 4th floor, Block C, Banani, Dhaka")["components"]
+        assert c["flat_number"] == "A-3"
+        assert c["floor_number"] == "4"
+        assert c["block_number"] == "C"
+
+    def test_house_not_postal(self):
+        # H-prefixed 4-digit numbers are houses, never postal codes
+        c = extract("H-4192, R-1, agrabad, chattogram")["components"]
+        assert c["house_number"] == "4192"
+        assert c["postal_code"] == "4100"  # gazetteer-predicted for Agrabad
+
+    def test_postal_inferred_from_area(self):
+        c = extract("Banani, Dhaka")["components"]
+        assert c["postal_code"] == "1213"
+
+    def test_district_inferred_from_area(self):
+        c = extract("House 3, Road 2, Halishahar")["components"]
+        assert c["district"] == "Chattogram"
+        assert c["division"] == "Chattogram"
+
+    def test_no_entity(self):
+        c = extract("okay thanks let me check that for you")["components"]
+        assert not any(c.values())
+
+    def test_deterministic(self):
+        for t in SMOKE:
+            assert extract(t) == extract(t)
+
+
+class TestFSM:
+    def test_first_match_semantics(self):
+        c = fsm_parse("House No 12 Road No 5 Dhaka 1216")
+        assert c["house_number"] == "12"
+        assert c["road"] == "5"
+        assert c["postal_code"] == "1216"
+
+    def test_postal_position_gate(self):
+        assert fsm_parse("1216 something very long after the number here")[
+            "postal_code"] is None
+
+
+class TestResolver:
+    def test_consensus_bonus(self):
+        out = resolve({"area": [
+            {"value": "Mirpur", "confidence": 0.8, "source": "regex"},
+            {"value": "Mirpur", "confidence": 0.9, "source": "fsm"},
+        ]})
+        r = out["area"]
+        assert r["value"] == "Mirpur"
+        assert r["confidence"] == pytest.approx(min(0.85 * 1.05, 0.99))
+        assert r["source"] == "fsm"
+        assert "conflict" not in r
+
+    def test_conflict_weighted_vote_and_penalty(self):
+        out = resolve({"district": [
+            {"value": "Dhaka", "confidence": 0.9, "source": "regex"},
+            {"value": "Khulna", "confidence": 0.95, "source": "unvalidated"},
+        ]})
+        r = out["district"]
+        # regex: .9*1.0=.90 > unvalidated: .95*.6=.57
+        assert r["value"] == "Dhaka"
+        assert r["confidence"] == pytest.approx(0.9 * 0.9)
+        assert r["conflict"] is True
+
+    def test_postal_format_gate(self):
+        out = resolve({"postal_code": [
+            {"value": "12345", "confidence": 0.99, "source": "regex"}]})
+        assert out["postal_code"] is None
+
+    def test_threshold_rejection(self):
+        out = resolve(
+            {"area": [{"value": "X", "confidence": 0.5, "source": "regex"}]},
+            {"area": 0.65})
+        assert out["area"] is None
+
+    def test_consensus_cap(self):
+        out = resolve({"area": [
+            {"value": "M", "confidence": 0.99, "source": "regex"},
+            {"value": "M", "confidence": 0.99, "source": "fsm"},
+        ]})
+        assert out["area"]["confidence"] == 0.99
+
+
+class TestCompare:
+    def test_identical_match(self):
+        c = extract(SMOKE[1])["components"]
+        r = compare_components(c, c)
+        assert r["match"] and r["score"] == 1.0
+
+    def test_reference_weighted_shape(self):
+        c1 = {"postal_code": "1216", "district": "Dhaka", "area": "Mirpur"}
+        c2 = {"postal_code": "1216", "district": "Dhaka", "area": "Mirpur"}
+        assert compare_components(c1, c2)["score"] == 1.0
+
+    def test_different_entities_no_match(self):
+        c1 = extract("House 12, Road 5, Mirpur, Dhaka-1216")["components"]
+        c2 = extract("House 99, Road 8, Mirpur, Dhaka-1216")["components"]
+        assert not score_pair(c1, c2)["match"]
+
+    def test_identifier_exact_semantics(self):
+        # '12' vs '120' is a DIFFERENT house: contributes 0.0, not a fuzzy 0.9
+        c1 = {"house_number": "12", "road": "5", "area": "Mirpur",
+              "district": "Dhaka", "postal_code": "1216"}
+        c2 = dict(c1, house_number="120", road="51")
+        s = score_pair(c1, c2)
+        # postal+district+area agree (.75), house+road exact-mismatch (0)
+        assert s["score"] == pytest.approx(0.75 / 0.95, abs=1e-3)
+        assert not s["match"]
+
+    def test_jaro_winkler_known_values(self):
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+
+    def test_levenshtein(self):
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("", "abc") == 3
+
+    def test_token_jaccard(self):
+        assert token_jaccard("a b c", "a b d") == pytest.approx(0.5)
+
+
+class TestPhonetic:
+    def test_soundex_classic(self):
+        assert soundex("Robert") == "R163"
+        assert soundex("Rupert") == "R163"
+        assert soundex("Tymczak") == "T522"
+
+    def test_soundex_collides_typos(self):
+        assert soundex("gulshan") == soundex("gulisthan")[:4][:1] + soundex("gulshan")[1:]
+
+    def test_minhash_deterministic_and_sensitive(self):
+        t1 = ["12", "5", "mirpur", "dhaka", "1216"]
+        assert minhash_band_keys(t1) == minhash_band_keys(t1)
+        t2 = ["12", "5", "mirpur", "dhaka", "1216", "extra"]
+        shared = set(minhash_band_keys(t1)) & set(minhash_band_keys(t2))
+        assert shared  # high-Jaccard sets share >=1 band
+        t3 = ["totally", "different", "tokens"]
+        assert not set(minhash_band_keys(t1)) & set(minhash_band_keys(t3))
+
+
+class TestValidateFormat:
+    def test_validate(self):
+        c = extract(SMOKE[1])["components"]
+        v = validate_address(c)
+        assert v["is_valid"]
+        assert 0 < v["completeness"] <= 1
+        assert v["score"] > 0.7
+
+    def test_validate_missing_required(self):
+        v = validate_address({"house_number": "5"})
+        assert not v["is_valid"]
+        assert "district" in v["missing"]
+
+    def test_format_styles(self):
+        c = {"house_number": "12", "road": "5", "area": "Mirpur",
+             "district": "Dhaka", "postal_code": "1216"}
+        assert format_address(c) == "House 12, Road 5, Mirpur, Dhaka-1216"
+        assert format_address(c, style="short") == "H-12, R-5, Mirpur, Dhaka"
+        assert format_address(c, style="postal") == "Mirpur, Dhaka, 1216"
+        assert format_address(c, style="minimal") == "Mirpur, Dhaka"
+        assert format_address(c, include_postal=False).endswith("Dhaka")
+
+    def test_suggest(self):
+        top = suggest_areas("guls", limit=3)
+        assert top[0]["area"] == "Gulshan"
+        assert len(top) == 3

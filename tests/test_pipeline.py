@@ -1,0 +1,185 @@
+"""End-to-end Ray pipeline tests: oracle parity, pairwise F1, resume."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+from ai_bangladesh_address_parser_ray.kernel import extract, normalize
+from ai_bangladesh_address_parser_ray.pipelines.linkage import (
+    LinkageConfig, run_linkage,
+)
+from ai_bangladesh_address_parser_ray.pipelines.evaluate import pairwise_f1
+
+
+@pytest.fixture(scope="module")
+def linkage_result(ray_session, synth_small, tmp_path_factory):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(synth_small, "transcripts"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt") / "run1")
+    cfg = LinkageConfig(num_partitions=4, extract_concurrency=2,
+                        checkpoint_dir=ckpt)
+    res = run_linkage(ds, cfg, input_token=synth_small)
+    df = res["turns"].to_pandas()
+    return res, df, cfg, ckpt, ds
+
+
+class TestLinkagePipeline:
+    def test_row_count_preserved(self, linkage_result, synth_small):
+        _, df, *_ = linkage_result
+        n_in = pq.read_table(
+            os.path.join(synth_small, "transcripts")).num_rows
+        assert len(df) == n_in
+        assert df["node_id"].is_unique
+
+    def test_per_turn_text_equality_vs_oracle(self, linkage_result,
+                                              synth_small):
+        """North-rule invariant: per-turn text equality under stable
+        (conv_id, turn_idx) ordering, plus extracted fields equal to the
+        single-process oracle kernel row-for-row."""
+        _, df, *_ = linkage_result
+        src = pq.read_table(
+            os.path.join(synth_small, "transcripts")).to_pandas()
+        merged = src.merge(df, on=["conv_id", "turn_idx"],
+                           suffixes=("_src", "_ray"), how="left")
+        assert len(merged) == len(src)
+        assert (merged["text_src"] == merged["text_ray"]).all()
+        # sample the full corpus against the oracle kernel
+        ordered = merged.sort_values(["conv_id", "turn_idx"])
+        for r in ordered.itertuples():
+            oracle = extract(normalize(r.text_src))["components"]
+            for f in COMPONENT_FIELDS:
+                assert getattr(r, f) == oracle[f], (r.conv_id, r.turn_idx, f)
+
+    def test_pairwise_f1_target(self, linkage_result, synth_small):
+        _, df, *_ = linkage_result
+        mentions = pq.read_table(
+            os.path.join(synth_small, "mentions.parquet")).to_pandas()
+        m = pairwise_f1(df, mentions)
+        assert m["candidate_pairs"] > 1000
+        assert m["f1"] >= 0.99, m
+
+    def test_same_entity_same_cluster(self, linkage_result, synth_small):
+        _, df, *_ = linkage_result
+        mentions = pq.read_table(
+            os.path.join(synth_small, "mentions.parquet")).to_pandas()
+        j = mentions.merge(df, on=["conv_id", "turn_idx"])
+        # each entity's mentions should map to exactly one cluster
+        n_clusters = j.groupby("entity_id")["cluster_id"].nunique()
+        assert (n_clusters == 1).mean() >= 0.99
+        # and clusters should not mix entities
+        n_entities = j.groupby("cluster_id")["entity_id"].nunique()
+        assert (n_entities == 1).mean() >= 0.99
+
+    def test_filler_turns_are_singletons(self, linkage_result, synth_small):
+        _, df, *_ = linkage_result
+        mentions = pq.read_table(
+            os.path.join(synth_small, "mentions.parquet")).to_pandas()
+        labeled = set(zip(mentions.conv_id, mentions.turn_idx))
+        filler = df[[k not in labeled
+                     for k in zip(df.conv_id, df.turn_idx)]]
+        assert (filler["cluster_id"] == filler["node_id"]).all()
+
+    def test_checkpoint_manifests_written(self, linkage_result):
+        _, _, _, ckpt, _ = linkage_result
+        import json
+        for phase in ["01_extracted", "02_pairs", "03_edges", "04_clusters"]:
+            path = os.path.join(ckpt, phase, "manifest.json")
+            assert os.path.exists(path), phase
+            m = json.load(open(path))
+            assert m["complete"] and m["rows"] >= 0
+            assert sum(f["rows"] for f in m["files"]) == m["rows"]
+
+    def test_resume_identical_output(self, linkage_result, synth_small):
+        """Rerun with the same checkpoint dir: phases are skipped (manifest
+        fingerprints match) and the final clustering is identical."""
+        res1, df1, cfg, ckpt, ds = linkage_result
+        import json
+        wall1 = {p: json.load(open(os.path.join(ckpt, p, "manifest.json")))
+                 for p in ["01_extracted", "02_pairs", "03_edges"]}
+        res2 = run_linkage(ds, cfg, input_token=synth_small)
+        df2 = res2["turns"].to_pandas()
+        key = ["conv_id", "turn_idx"]
+        a = df1.sort_values(key).reset_index(drop=True)
+        b = df2.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[key + COMPONENT_FIELDS + ["cluster_id"]],
+            b[key + COMPONENT_FIELDS + ["cluster_id"]])
+        # manifests untouched by the second run (restored, not recomputed)
+        wall2 = {p: json.load(open(os.path.join(ckpt, p, "manifest.json")))
+                 for p in wall1}
+        assert wall1 == wall2
+
+    def test_checkpoint_invalidation_on_config_change(self, ray_session,
+                                                      synth_small,
+                                                      tmp_path_factory):
+        """A changed config fingerprint must not reuse stale phase output."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.state.checkpoint import (
+            CheckpointManager, fingerprint,
+        )
+        ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+        mgr = CheckpointManager(ckpt)
+        ds1 = ray.data.range(10)
+        out1 = mgr.run("p", fingerprint("a"), lambda: ds1)
+        assert out1.count() == 10
+        ds2 = ray.data.range(20)
+        out2 = mgr.run("p", fingerprint("b"), lambda: ds2)
+        assert out2.count() == 20
+
+
+class TestUnionFind:
+    def test_transitive_chain(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            connected_components,
+        )
+        edges = ray.data.from_items([
+            {"u": "a", "v": "b"}, {"u": "b", "v": "c"},
+            {"u": "c", "v": "d"},  # chain of 4
+            {"u": "x", "v": "y"},  # separate component
+        ])
+        labels = connected_components(edges, num_partitions=2)
+        got = {r["node_id"]: r["cluster_id"] for r in labels.take_all()}
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "x": "x", "y": "x"}
+
+    def test_deterministic_min_label(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            connected_components,
+        )
+        edges = ray.data.from_items(
+            [{"u": "n9", "v": "n1"}, {"u": "n1", "v": "n5"}])
+        labels = connected_components(edges, num_partitions=2)
+        got = {r["node_id"]: r["cluster_id"] for r in labels.take_all()}
+        assert set(got.values()) == {"n1"}
+
+
+class TestDedupExtract:
+    def test_distinct_extraction_matches_direct(self, ray_session):
+        """Dedup-before-compute must be semantically identical to extracting
+        every row (the reference memo-cache contract, ST7)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.normalize import (
+            normalize_stage,
+        )
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            dedup_extract_stage, extract_stage,
+        )
+        rows = [{"conv_id": "c1", "turn_idx": i, "role": "user",
+                 "text": t, "tool": "", "ts": 0}
+                for i, t in enumerate(
+                    ["House 12, Road 5, Mirpur, Dhaka",
+                     "House 12, Road 5, Mirpur, Dhaka",   # exact dup
+                     "Banani, Dhaka", "no address"])]
+        ds = normalize_stage(ray.data.from_items(rows))
+        a = dedup_extract_stage(ds, concurrency=2, num_partitions=2) \
+            .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+        b = extract_stage(ds, concurrency=2) \
+            .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+        cols = ["turn_idx"] + COMPONENT_FIELDS
+        pd.testing.assert_frame_equal(a[cols], b[cols])
