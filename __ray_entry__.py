@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float policy for oracle parity: wherever possible the Ray path and the SQL
+oracle compute the SAME IEEE-double expression in the SAME operation order
+(ratios, averages-of-ints, exact set Jaccards) so values are bit-identical
+and need no rounding; only cross-engine cosine scores (different summation
+order) are rounded to 6 decimals on both sides.
 """
 
 from __future__ import annotations
@@ -18,27 +15,350 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+from ai_bangladesh_address_parser_ray.functions import dedup as F_dedup
+from ai_bangladesh_address_parser_ray.functions import similarity as F_sim
+from ai_bangladesh_address_parser_ray.functions import stats as F_stats
+from ai_bangladesh_address_parser_ray.functions import text_analysis as F_text
+from ai_bangladesh_address_parser_ray.functions import multimodal as F_mm
+from ai_bangladesh_address_parser_ray.kernel.normalizer import (
+    BN_KEYWORDS, BN_NUMERALS, BN_PLACES, CORRECTIONS)
+from ai_bangladesh_address_parser_ray.pipelines.linkage import (
+    LinkageConfig, run_linkage)
+from ai_bangladesh_address_parser_ray.sources.synthetic import synth_dir_for
+from ai_bangladesh_address_parser_ray.stages.extract import dedup_extract_stage
+from ai_bangladesh_address_parser_ray.stages.normalize import normalize_stage
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _read(sf_dir: str, table: str):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _transcripts(sf_dir: str):
+    d = synth_dir_for(sf_dir)
+    return ray.data.read_parquet(f"{d}/transcripts")
+
+
+# --------------------------------------------------------------- entry ----
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: record linkage over the deterministic synthetic transcript
+    table derived for sf0.001 — normalize -> dedup-extract -> block -> pair
+    -> score -> union-find -> per-turn cluster ids."""
+    ds = _transcripts(SF0001)
+    out = run_linkage(ds, LinkageConfig())
+    cols = ["conv_id", "turn_idx", "role", "norm_text", "cluster_id"] \
+        + COMPONENT_FIELDS
+    return out["turns"].select_columns(cols)
+
+
+# ------------------------------------------------------------- queries ----
+
+def _q_exact_dedup(sf_dir):
+    return F_dedup.exact_dedup(_read(sf_dir, "documents"))
+
+
+def _q_token_counts(sf_dir):
+    return F_text.token_counts(_read(sf_dir, "documents"))
+
+
+def _q_quality(sf_dir):
+    return F_text.quality_scores(_read(sf_dir, "documents"))
+
+
+def _q_doc_stats(sf_dir):
+    return F_stats.doc_stats_by_lang(_read(sf_dir, "documents"))
+
+
+def _q_top_sources(sf_dir):
+    return F_stats.top_k_by_count(
+        _read(sf_dir, "documents").select_columns(["source"]), "source", k=10)
+
+
+def _q_events_by_type(sf_dir):
+    from ray.data.aggregate import Count, Max, Min
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count("value", alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    ).sort("event_type")
+
+
+def _q_lineitem_pricing(sf_dir):
+    # TPC-H Q1 shape on exact-summable columns; columns pruned at the read
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count("l_quantity", alias_name="count_order"),
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+def _q_normalize_docs(sf_dir):
+    import pyarrow.compute as pc
+    from ai_bangladesh_address_parser_ray.kernel.normalizer import normalize_array
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_text": normalize_array(batch["text"]),
+        })
+    return _read(sf_dir, "documents").map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_script_ratio(sf_dir):
+    import pyarrow.compute as pc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        n_bn = pc.cast(pc.count_substring_regex(t, "[ঀ-৿]"), pa.float64())
+        n = pc.cast(pc.utf8_length(t), pa.float64())
+        ratio = pc.divide(n_bn, pc.max_element_wise(n, 1.0))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bangla": pc.cast(n_bn, pa.int64()),
+            "bangla_ratio": ratio,
+        })
+    return _read(sf_dir, "documents").map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KNN_NQ, _KNN_K = 8, 5
+
+
+def _query_vectors(sf_dir):
+    tbl = pa.concat_tables([
+        b for b in _read(sf_dir, "embeddings")
+        .filter(expr=f"vec_id < {_KNN_NQ}")
+        .iter_batches(batch_format="pyarrow")])
+    ids = tbl["vec_id"].to_pylist()
+    mat = np.asarray([np.asarray(v, np.float64)
+                      for v in tbl["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    return mat[order], [ids[i] for i in order]
+
+
+def _q_knn(sf_dir):
+    mat, ids = _query_vectors(sf_dir)
+    return F_sim.knn_brute(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
+
+
+_DUP_TAU = 0.4
+
+
+def _q_embedding_dups(sf_dir):
+    return F_dedup.embedding_cosine_pairs(
+        _read(sf_dir, "embeddings"), tau=_DUP_TAU)
+
+
+_JACC_TAU = 0.8
+
+
+def _q_ngram_dups(sf_dir):
+    # bands=32 x r=2 => P[miss @ J=0.8] ~ 1e-14: LSH recall is effectively
+    # exact above the verify threshold, so the SQL all-pairs oracle matches
+    return F_dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents"), threshold=_JACC_TAU,
+        est_threshold=0.3, bands=32, num_partitions=8)
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+def _q_linkage(sf_dir):
+    out = run_linkage(_transcripts(sf_dir), LinkageConfig())
+    cols = ["conv_id", "turn_idx", "cluster_id"] + COMPONENT_FIELDS
+    return out["turns"].select_columns(cols)
+
+
+def _q_extract(sf_dir):
+    ds = normalize_stage(_transcripts(sf_dir))
+    ext = dedup_extract_stage(ds)
+    return ext.select_columns(
+        ["conv_id", "turn_idx", "norm_text", "overall_confidence"]
+        + COMPONENT_FIELDS)
+
+
+def _q_minhash(sf_dir):
+    return F_dedup.minhash_lsh_pairs(_read(sf_dir, "documents"),
+                                     est_threshold=0.5)
+
+
+def _q_simhash(sf_dir):
+    return F_dedup.simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
+
+def _q_langid(sf_dir):
+    return F_text.lang_id(_read(sf_dir, "documents"))
+
+
+def _q_fingerprints(sf_dir):
+    return F_text.fingerprints(_read(sf_dir, "documents"))
+
+
+def _q_knn_lsh(sf_dir):
+    mat, ids = _query_vectors(sf_dir)
+    return F_sim.knn_lsh(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
+
+
+def _q_media_frames(sf_dir):
+    media = F_mm.attach_fake_media(_read(sf_dir, "documents"))
+    return F_mm.frame_sample_stage(media, n_frames=4, fake=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-oracled
+        "exact_dedup_docs": _q_exact_dedup,
+        "token_counts_docs": _q_token_counts,
+        "quality_docs": _q_quality,
+        "doc_stats_by_lang": _q_doc_stats,
+        "top_sources": _q_top_sources,
+        "events_by_type": _q_events_by_type,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "normalize_docs": _q_normalize_docs,
+        "script_ratio_docs": _q_script_ratio,
+        "knn_cosine_topk": _q_knn,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "ngram_dup_pairs": _q_ngram_dups,
+        # rows-only (stateful / model / iterative — no SQL equivalent)
+        "linkage_clusters": _q_linkage,
+        "extract_turn_components": _q_extract,
+        "minhash_dup_pairs": _q_minhash,
+        "simhash_dup_pairs": _q_simhash,
+        "lang_id_docs": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "knn_lsh_topk": _q_knn_lsh,
+        "media_frame_features": _q_media_frames,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL ----
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _normalizer_sql(col: str) -> str:
+    """Mechanically mirror kernel.normalizer.normalize_array as one nested
+    DuckDB expression — same tables, same order (order is the contract)."""
+    e = col
+    for bn, en in BN_NUMERALS + BN_PLACES + BN_KEYWORDS:
+        e = f"replace({e}, {_sql_quote(bn)}, {_sql_quote(en)})"
+    e = f"replace({e}, '\"', '')"
+    e = f"replace({e}, '''', '')"
+    for wrong, right in CORRECTIONS:
+        e = (f"regexp_replace({e}, '(?i)\\b{wrong}\\b', "
+             f"{_sql_quote(right)}, 'g')")
+    e = f"replace({e}, '#', ' No ')"
+    e = f"replace({e}, ':', ' ')"
+    e = f"regexp_replace({e}, '\\s+', ' ', 'g')"
+    e = f"trim({e})"
+    e = f"regexp_replace({e}, '\\s*,\\s*', ', ', 'g')"
+    return e
+
+
+_STOP_PAT = r"\b(the|a|an|and|or|of|to|in|is|for)\b"
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN
+      CASE WHEN len(tk) = 0 THEN [] ELSE [array_to_string(tk, ' ')] END
+    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    END AS s
+  FROM toks
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": (
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id, "
+            "COUNT(*) AS n_dups FROM documents GROUP BY text"),
+        "token_counts_docs": (
+            r"SELECT doc_id, "
+            r"len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            rf"len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens "
+            r"FROM documents"),
+        "quality_docs": (
+            r"WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+            r"len(regexp_extract_all(text, '\S+')) AS n_toks, "
+            r"len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct, "
+            rf"len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop "
+            r"FROM documents), "
+            r"r AS (SELECT doc_id, n_chars, n_toks, "
+            r"CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS pr, "
+            r"CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) AS sr "
+            r"FROM f) "
+            r"SELECT doc_id, n_chars AS n_chars_c, n_toks AS n_tokens, "
+            r"pr AS punct_ratio, sr AS stopword_ratio, "
+            r"(least(n_toks / 100.0, 1.0) * 0.4) + ((1.0 - pr) * 0.3) "
+            r"+ (least(sr * 5.0, 1.0) * 0.3) AS quality FROM r"),
+        "doc_stats_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs, AVG(n_chars) AS avg_chars, "
+            "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"),
+        "top_sources": (
+            "SELECT source, COUNT(*) AS n FROM documents GROUP BY source "
+            "ORDER BY n DESC, source LIMIT 10"),
+        "events_by_type": (
+            "SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY event_type "
+            "ORDER BY event_type"),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"),
+        "normalize_docs": (
+            f"SELECT doc_id, {_normalizer_sql('text')} AS norm_text "
+            f"FROM documents"),
+        "script_ratio_docs": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[ঀ-৿]')) AS n_bangla, "
+            "CAST(len(regexp_extract_all(text, '[ঀ-৿]')) AS DOUBLE) "
+            "/ greatest(length(text), 1) AS bangla_ratio FROM documents"),
+        "knn_cosine_topk": (
+            f"WITH q AS (SELECT vec_id AS qid, "
+            f"CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            f"WHERE vec_id < {_KNN_NQ}) "
+            f"SELECT query_id, neighbor_id, score, rank FROM ("
+            f"SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            f"round(list_cosine_similarity(q.qe, "
+            f"CAST(e.embedding AS DOUBLE[])), 6) AS score, "
+            f"row_number() OVER (PARTITION BY q.qid ORDER BY "
+            f"list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) "
+            f"DESC, e.vec_id) AS rank "
+            f"FROM q, embeddings e WHERE e.vec_id != q.qid) "
+            f"WHERE rank <= {_KNN_K}"),
+        "embedding_dup_pairs": (
+            f"SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+            f"FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            f"AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])) >= {_DUP_TAU}"),
+        "ngram_dup_pairs": (
+            _SHINGLES_CTE +
+            f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            f"CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            f"/ len(list_distinct(list_concat(a.s, b.s))) AS jaccard "
+            f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
+            f"AND len(list_intersect(a.s, b.s)) "
+            f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+    }

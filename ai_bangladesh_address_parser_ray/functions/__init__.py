@@ -1,0 +1,15 @@
+"""Generic large-scale table operators (training-data-pipeline family).
+
+Beyond the reference's own operator set (SURVEY.md §2), these are the
+operations a 100 TB training-data pipeline needs, each expressed
+Ray-Data-first over the ``documents`` / ``embeddings`` tables:
+
+- ``dedup``          exact, MinHash+LSH, SimHash, n-gram Jaccard,
+                     embedding-cosine near-dup
+- ``text_analysis``  language-ID, quality scoring, token counting,
+                     winnowing fingerprints
+- ``similarity``     brute-force cosine top-k + LSH-bucketed ANN
+- ``stats``          corpus statistics / grouped aggregates / top-k
+- ``multimodal``     binary-column plumbing with stubbed codecs
+- ``hashing``        shared deterministic hash primitives (no Ray)
+"""

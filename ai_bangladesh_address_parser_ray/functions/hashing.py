@@ -1,0 +1,142 @@
+"""Deterministic hash primitives shared by the dedup/similarity operators.
+
+No Ray imports — this module is pure numpy/stdlib so the same code is both
+the distributed UDF body and the single-process test oracle. Every hash is
+stable across processes and machines (no ``hash()``, no seeds from the
+clock), which the resume/byte-identity guarantees depend on.
+
+MinHash uses the standard universal-hash family ``(a*h + b) mod 2^64`` over
+crc32 shingle hashes; SimHash is the classic Charikar bit-vote over token
+hashes. Both are vectorized with numpy inside the per-document loop (the
+per-batch loop over documents is unavoidable for variable-length token
+lists; all per-shingle work is numpy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def stable_u64(data: bytes) -> int:
+    """64-bit stable hash (blake2b/8); used for band-key compaction."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def word_shingles(text: str, n: int = 3) -> list:
+    """Word n-gram shingles of a lowercased, whitespace-split document."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def shingle_hash_array(shingles) -> np.ndarray:
+    """crc32 of each shingle -> uint64 array (deterministic)."""
+    return np.array([zlib.crc32(s.encode("utf-8")) for s in shingles],
+                    dtype=_U64)
+
+
+def _minhash_params(num_hashes: int):
+    # fixed-seed params so every process derives the identical family
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(1, 2**62, size=num_hashes).astype(_U64) | _U64(1)  # odd
+    b = rng.randint(0, 2**62, size=num_hashes).astype(_U64)
+    return a, b
+
+
+_MH_CACHE: dict = {}
+
+
+def minhash_signature(shingles, num_hashes: int = 64) -> np.ndarray:
+    """MinHash signature (uint64[num_hashes]) of a shingle set."""
+    if num_hashes not in _MH_CACHE:
+        _MH_CACHE[num_hashes] = _minhash_params(num_hashes)
+    a, b = _MH_CACHE[num_hashes]
+    h = shingle_hash_array(shingles)
+    if h.size == 0:
+        return np.full(num_hashes, np.iinfo(np.uint64).max, dtype=_U64)
+    with np.errstate(over="ignore"):
+        # (a*h + b) mod 2^64 via uint64 wraparound — universal enough for LSH
+        m = a[:, None] * h[None, :] + b[:, None]
+    return m.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list:
+    """Split a signature into ``bands`` row-groups -> one key per band."""
+    r = len(sig) // bands
+    return [
+        "%s:%d:%016x" % (prefix, bidx,
+                         stable_u64(sig[bidx * r:(bidx + 1) * r].tobytes()))
+        for bidx in range(bands)
+    ]
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    sa, sb = set(word_shingles(text_a, n)), set(word_shingles(text_b, n))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def simhash64(text: str) -> int:
+    """Charikar SimHash over word-unigram crc32-seeded 64-bit hashes."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    h = np.array([stable_u64(t.encode("utf-8")) for t in toks], dtype=_U64)
+    bits = ((h[:, None] >> np.arange(64, dtype=_U64)[None, :])
+            & _U64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(toks)          # (+1/-1 per token)
+    fp = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        fp |= _U64(1) << _U64(int(i))
+    return int(fp)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_band_values(fp: int, bands: int = 4) -> list:
+    """Split a 64-bit fingerprint into ``bands`` equal bit-bands.
+
+    Pigeonhole: two fingerprints at Hamming distance < ``bands`` share at
+    least one exact band value — the standard near-dup blocking recipe.
+    """
+    w = 64 // bands
+    mask = (1 << w) - 1
+    return [(i, (fp >> (i * w)) & mask) for i in range(bands)]
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing document fingerprint (Schleimer et al. 2003, public):
+    rolling char k-gram crc32 hashes -> per-window minima -> blake2b of the
+    selected minima sequence. Deterministic; robust to local edits."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return stable_u64(s.encode("utf-8"))
+    grams = np.array([zlib.crc32(s[i:i + k].encode("utf-8"))
+                      for i in range(len(s) - k + 1)], dtype=np.uint32)
+    if len(grams) <= window:
+        picks = [int(grams.min())]
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+        mins = sw.min(axis=1)
+        # dedupe consecutive repeats (same selected gram)
+        keep = np.concatenate([[True], mins[1:] != mins[:-1]])
+        picks = mins[keep].tolist()
+    return stable_u64(np.array(picks, dtype=np.uint32).tobytes())

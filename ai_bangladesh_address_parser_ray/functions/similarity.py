@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute`  exact cosine top-k: broadcast query matrix (``ray.put``
+  once, read per actor init), per-batch numpy matmul produces *partial*
+  top-k per query, driver merges the tiny (num_queries x k) partials.
+  The dataset side streams — never materialized.
+- :func:`knn_lsh`    the scale path: sign-LSH (random-hyperplane) buckets
+  shrink the candidate set per query; same verifier, recall < 1 by design.
+
+New surface (no ANN in the reference); required by the training-data
+pipeline mandate. Scores are float64, rounded to 6 decimals for oracle
+comparability; ties broken by ascending neighbor id (deterministic).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _partial_topk_batch(batch: pa.Table, q_ref, qids_ref, k: int,
+                        exclude_self: bool) -> pa.Table:
+    """Task: per-batch cosine of the batch vectors against the broadcast
+    query matrix (zero-copy plasma read); emits (query_id, neighbor_id,
+    score) rows for the batch's local top-k per query. Driver-side merge
+    then takes the global top-k — a classic partial/combine aggregate,
+    shuffle-free."""
+    q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    qids = np.asarray(
+        ray.get(qids_ref) if isinstance(qids_ref, ray.ObjectRef) else qids_ref)
+    qn = _normalize(q)
+    vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in batch["embedding"].to_pylist()])
+    nids = np.asarray(batch["vec_id"].to_pylist())
+    sims = qn @ _normalize(vecs).T                 # (Q, batch)
+    if exclude_self:
+        # mask self-matches BEFORE the local top-k so they never occupy a
+        # slot (a batch containing the query would otherwise shrink that
+        # batch's contribution to k-1)
+        sims[qids[:, None] == nids[None, :]] = -2.0
+    k = min(k, sims.shape[1])
+    qcol, ncol, scol = [], [], []
+    for qi in range(sims.shape[0]):
+        # local top-k: argpartition then exact ordering inside the slice
+        idx = np.argpartition(-sims[qi], k - 1)[:k]
+        for j in idx:
+            qcol.append(int(qids[qi]))
+            ncol.append(int(nids[j]))
+            scol.append(float(sims[qi, j]))
+    return pa.table({
+        "query_id": pa.array(qcol, pa.int64()),
+        "neighbor_id": pa.array(ncol, pa.int64()),
+        "score": pa.array(scol, pa.float64()),
+    })
+
+
+def knn_brute(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+              exclude_self: bool = True, batch_size: int = 1024) -> pa.Table:
+    """Exact cosine top-k for each query vector. Returns a (small) pyarrow
+    Table (query_id, neighbor_id, score, rank), rank 1-based by descending
+    score then ascending neighbor_id."""
+    q_ref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    qids_ref = ray.put(np.asarray(query_ids))
+    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _partial_topk_batch,
+        fn_kwargs=dict(q_ref=q_ref, qids_ref=qids_ref, k=k,
+                       exclude_self=exclude_self),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+    # driver-side merge of O(num_queries * k * num_batches) partial rows
+    best: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for qid, nid, s in zip(b["query_id"].to_pylist(),
+                               b["neighbor_id"].to_pylist(),
+                               b["score"].to_pylist()):
+            if exclude_self and nid == qid:
+                continue
+            heapq.heappush(best.setdefault(qid, []), (s, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+
+    qcol, ncol, scol, rcol = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for r, (s, negn) in enumerate(ranked, 1):
+            qcol.append(qid)
+            ncol.append(-negn)
+            scol.append(round(s, 6))
+            rcol.append(r)
+    return pa.table({
+        "query_id": pa.array(qcol, pa.int64()),
+        "neighbor_id": pa.array(ncol, pa.int64()),
+        "score": pa.array(scol, pa.float64()),
+        "rank": pa.array(rcol, pa.int64()),
+    })
+
+
+# ------------------------------------------------------------- sign-LSH ----
+
+def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(0xA11CE)   # fixed: same planes everywhere
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_bits(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-LSH bucket id per vector (uint64 of sign bits)."""
+    signs = (np.asarray(vecs, np.float64) @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (signs.astype(np.uint64) @ weights).astype(np.uint64)
+
+
+def knn_lsh(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+            n_planes: int = 8, exclude_self: bool = True,
+            batch_size: int = 1024) -> pa.Table:
+    """Approximate top-k: only dataset vectors whose sign-LSH bucket is
+    within Hamming<=1 of the query's bucket are scored (multi-probe).
+
+    Trades recall for a ~2^n_planes candidate reduction — the 100 TB path
+    where the brute matmul row is too wide. Output schema matches
+    :func:`knn_brute`."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    planes = _plane_matrix(q.shape[1], n_planes)
+    q_sigs = signature_bits(q, planes)
+
+    # multi-probe neighborhood: exact bucket + all 1-bit flips
+    probe: dict = {}
+    for qi, s in enumerate(q_sigs):
+        probe.setdefault(int(s), []).append(qi)
+        for b in range(n_planes):
+            probe.setdefault(int(s) ^ (1 << b), []).append(qi)
+
+    q_ref = ray.put(q)
+    qids_ref = ray.put(np.asarray(query_ids))
+    probe_ref = ray.put(probe)
+    planes_ref = ray.put(planes)
+
+    def _bucket_topk(batch: pa.Table) -> pa.Table:
+        qn = _normalize(ray.get(q_ref))
+        qids = np.asarray(ray.get(qids_ref))
+        probe_map = ray.get(probe_ref)
+        pl = ray.get(planes_ref)
+        vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                           for v in batch["embedding"].to_pylist()])
+        nids = np.asarray(batch["vec_id"].to_pylist())
+        sigs = signature_bits(vecs, pl)
+        nv = _normalize(vecs)
+        qcol, ncol, scol = [], [], []
+        for j, sig in enumerate(sigs):
+            for qi in probe_map.get(int(sig), ()):   # candidate queries
+                s = float(qn[qi] @ nv[j])
+                qcol.append(int(qids[qi]))
+                ncol.append(int(nids[j]))
+                scol.append(s)
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "neighbor_id": pa.array(ncol, pa.int64()),
+            "score": pa.array(scol, pa.float64()),
+        })
+
+    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _bucket_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+
+    best: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for qid, nid, s in zip(b["query_id"].to_pylist(),
+                               b["neighbor_id"].to_pylist(),
+                               b["score"].to_pylist()):
+            if exclude_self and nid == qid:
+                continue
+            heapq.heappush(best.setdefault(qid, []), (s, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+
+    qcol, ncol, scol, rcol = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for r, (s, negn) in enumerate(ranked, 1):
+            qcol.append(qid)
+            ncol.append(-negn)
+            scol.append(round(s, 6))
+            rcol.append(r)
+    return pa.table({
+        "query_id": pa.array(qcol, pa.int64()),
+        "neighbor_id": pa.array(ncol, pa.int64()),
+        "score": pa.array(scol, pa.float64()),
+        "rank": pa.array(rcol, pa.int64()),
+    })

@@ -1,0 +1,150 @@
+"""Text-analysis operators over a document table (all vectorized).
+
+- :func:`token_counts`     whitespace tokens + BPE-ish regex pieces
+- :func:`quality_scores`   length / punctuation / stopword / uppercase ratios
+                           folded into one [0,1] quality score
+- :func:`lang_id`          n-gram + stopword-profile language heuristic
+- :func:`fingerprints`     winnowing rolling-hash document fingerprints
+
+Generalizes the reference's per-string analyzers (script-ratio detector
+``/root/reference/src/core/stages/script_detector.py:10-39``, completeness
+validator ``src/core/utils/address_utils.py:9-66``) from one address string
+to corpus scale. Counting/ratio ops are pure ``pyarrow.compute`` kernel
+chains (zero Python per row); ratios are rounded to 6 decimals so the
+distributed result is bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,!?;:]"
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "for")
+
+
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (id, n_tokens, n_bpe_tokens) via count_substring_regex kernels."""
+    def _f(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.count_substring_regex(t, BPE_RE), pa.int64()),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> per-doc quality features + composite score.
+
+    score = 0.4*len_score + 0.3*(1-punct_ratio) + 0.3*stopword_presence
+    where len_score = min(n_tokens/100, 1). All arithmetic in float64 in a
+    fixed operation order so the DuckDB oracle (same expression, same
+    order) produces bit-identical doubles — no rounding needed.
+    """
+    def _f(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        n_chars = pc.cast(pc.utf8_length(t), pa.float64())
+        n_tokens = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE), pa.float64())
+        low = pc.utf8_lower(t)
+        sw_pat = r"\b(%s)\b" % "|".join(STOPWORDS)
+        n_stop = pc.cast(pc.count_substring_regex(low, sw_pat), pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        safe_toks = pc.max_element_wise(n_tokens, 1.0)
+        punct_ratio = pc.divide(n_punct, safe_chars)
+        stop_ratio = pc.divide(n_stop, safe_toks)
+        len_score = pc.min_element_wise(pc.divide(n_tokens, 100.0), 1.0)
+        score = pc.add(
+            pc.add(pc.multiply(len_score, 0.4),
+                   pc.multiply(pc.subtract(1.0, punct_ratio), 0.3)),
+            pc.multiply(pc.min_element_wise(
+                pc.multiply(stop_ratio, 5.0), 1.0), 0.3))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chars_c": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality": score,
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- language ----
+
+# tiny public stopword profiles (top function words per language)
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "du"},
+    "de": {"der", "die", "und", "das", "von", "den", "mit", "ist", "im", "ein"},
+    "zh": set(),    # ideographic: decided by script ratio, not stopwords
+}
+
+_CJK = (0x4E00, 0x9FFF)
+_BN = (0x0980, 0x09FF)
+
+
+def lang_id_one(text: str) -> tuple:
+    """(lang, score) heuristic: script ratios first, then stopword profiles.
+
+    Same shape as the reference's script detector (Unicode-range ratio,
+    ``script_detector.py:20-25``) extended with per-language stopword votes.
+    Deterministic tie-break: lexicographic language code.
+    """
+    if not text:
+        return "und", 0.0
+    cjk = sum(1 for c in text if _CJK[0] <= ord(c) <= _CJK[1])
+    bn = sum(1 for c in text if _BN[0] <= ord(c) <= _BN[1])
+    alpha = sum(1 for c in text if c.isalpha()) or 1
+    if cjk / alpha > 0.3:
+        return "zh", round(cjk / alpha, 6)
+    if bn / alpha > 0.3:
+        return "bn", round(bn / alpha, 6)
+    toks = text.lower().split()
+    if not toks:
+        return "und", 0.0
+    best_lang, best = "und", 0.0
+    for lang in sorted(LANG_PROFILES):
+        prof = LANG_PROFILES[lang]
+        if not prof:
+            continue
+        hits = sum(1 for t in toks if t in prof)
+        frac = hits / len(toks)
+        if frac > best:
+            best_lang, best = lang, frac
+    if best == 0.0:
+        return "en", 0.0   # latin-script default
+    return best_lang, round(best, 6)
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        langs, scores = zip(*(lang_id_one(t or "") for t in texts)) \
+            if len(texts) else ((), ())
+        return pa.table({
+            id_col: batch[id_col],
+            "lang_pred": pa.array(list(langs), pa.string()),
+            "lang_score": pa.array(list(scores), pa.float64()),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 8, window: int = 16):
+    """-> (id, fingerprint:uint64) winnowing rolling-hash fingerprints."""
+    from .hashing import winnow_fingerprint
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fps = [winnow_fingerprint(t or "", k, window) for t in texts]
+        return pa.table({
+            id_col: batch[id_col],
+            "fingerprint": pa.array(fps, pa.uint64()),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -36,11 +36,13 @@ from ..state.checkpoint import CheckpointManager, fingerprint
 
 @dataclass
 class LinkageConfig:
-    # physical knobs — sized for a 32-cpu node; at cluster scale raise
-    # num_partitions to ~2-4x total cores and concurrency per node count
-    extract_concurrency: int = 4
+    # physical knobs; None = derive from the live cluster size at run time
+    # (at multi-node scale: num_partitions ~ 2x total cores, concurrency ~
+    # cores/4 so extraction actors, shuffle aggregators and map tasks all
+    # get CPU without starving each other)
+    extract_concurrency: Optional[int] = None
     extract_batch_size: int = 1024
-    num_partitions: int = 16
+    num_partitions: Optional[int] = None
     block_cap: int = 64          # all-pairs blocks up to C(cap,2) pairs
     block_window: int = 8        # sorted-neighborhood window beyond the cap
     score_threshold: float = 0.85
@@ -49,6 +51,17 @@ class LinkageConfig:
     checkpoint_dir: Optional[str] = None
     thresholds: Optional[dict] = None
     stages: Optional[dict] = None
+
+    def resolved(self) -> "LinkageConfig":
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        out = LinkageConfig(**asdict(self))
+        if out.extract_concurrency is None:
+            out.extract_concurrency = max(2, cpus // 4)
+        if out.num_partitions is None:
+            out.num_partitions = max(4, min(cpus, 32))
+        return out
 
 
 def _has_any_component(batch: pa.Table) -> pa.Table:
@@ -65,8 +78,9 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     tool, ts) schema. Returns {"turns": Dataset with cluster_id per turn,
     "edges": Dataset, "metrics": dict}.
     """
+    cfg_fp = fingerprint(asdict(cfg), input_token)  # pre-resolve: stable
+    cfg = cfg.resolved()
     ckpt = CheckpointManager(cfg.checkpoint_dir)
-    cfg_fp = fingerprint(asdict(cfg), input_token)
     metrics: dict = {}
 
     # ---- phase 1: normalize + extract (SHUFFLE 1 inside dedup_extract)
@@ -83,8 +97,13 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
             batch_size=cfg.extract_batch_size,
             thresholds=cfg.thresholds, stages=cfg.stages)
 
+    # the extraction table is consumed by TWO branches (pair generation and
+    # the final cluster join-back); pin it once so the lineage doesn't
+    # execute twice. checkpoint_dir pins via partitioned Parquet (the
+    # 10^12-turn path); otherwise materialize into the object store (spills
+    # under pressure) — never recompute.
     extracted = (ckpt.run("01_extracted", cfg_fp, compute_extracted)
-                 if cfg.checkpoint_dir else compute_extracted())
+                 if cfg.checkpoint_dir else compute_extracted().materialize())
 
     # ---- phase 2: blocking + candidate pairs (SHUFFLE 2)
     def compute_pairs():
@@ -97,13 +116,21 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     pairs = (ckpt.run("02_pairs", cfg_fp, compute_pairs)
              if cfg.checkpoint_dir else compute_pairs())
 
-    # ---- phase 3: scoring -> edges
+    # ---- phase 3: scoring -> edges (deduped: a pair generated by several
+    # blocking keys is scored per key — cheap, vectorized — then collapsed
+    # here on the 3-column edge table instead of shuffling the wide pair
+    # table before scoring)
     def compute_edges():
         scored = score_pairs_stage(pairs, threshold=cfg.score_threshold)
-        return scored.filter(expr="match == True")
+        matched = scored.filter(expr="match == True")
+        from ray.data.aggregate import Min
+        return matched.groupby(["u", "v"]).aggregate(
+            Min("score", alias_name="score"))
 
+    # edge table is small (matched pairs only) and consumed iteratively by
+    # union-find: pin it so rounds never re-run extraction/scoring
     edges = (ckpt.run("03_edges", cfg_fp, compute_edges)
-             if cfg.checkpoint_dir else compute_edges())
+             if cfg.checkpoint_dir else compute_edges().materialize())
 
     # ---- phase 4: transitive closure (SHUFFLE 3..k)
     def compute_clusters():

@@ -54,8 +54,21 @@ class ExtractTurns:
         return out
 
 
-def extract_stage(ds, concurrency=4, batch_size: int = 1024,
+def _auto_concurrency(concurrency):
+    """Leave headroom for shuffle-aggregator actors and map tasks: an actor
+    pool that grabs every CPU deadlocks the downstream hash shuffle on
+    small clusters."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
+def extract_stage(ds, concurrency=None, batch_size: int = 1024,
                   thresholds=None, stages=None, text_column="norm_text"):
+    concurrency = _auto_concurrency(concurrency)
     return ds.map_batches(
         ExtractTurns,
         fn_constructor_kwargs={"thresholds": thresholds, "stages": stages,
@@ -68,8 +81,8 @@ def extract_stage(ds, concurrency=4, batch_size: int = 1024,
     )
 
 
-def dedup_extract_stage(ds, concurrency=4, batch_size: int = 1024,
-                        num_partitions: int = 32,
+def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
+                        num_partitions: int = 16,
                         thresholds=None, stages=None):
     """Exact-dedup-before-compute: extract once per distinct norm_text, then
     hash-join the component columns back onto every turn.

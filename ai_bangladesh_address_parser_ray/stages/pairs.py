@@ -75,14 +75,21 @@ def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
 
 def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
                           oversize_counter=None):
-    """blocked rows -> deduped candidate-pair table."""
+    """blocked rows -> candidate-pair table (NOT deduped across keys).
+
+    A pair reached via several blocking keys (ad/pc/sx/mh overlap heavily)
+    is emitted once per key. We deliberately do NOT shuffle the wide pair
+    table on pair_key to dedup here: scoring a duplicate is a vectorized
+    equality check (~ns), while deduping first would move every pair row
+    (21 columns) through an extra all-to-all exchange. Dedup happens after
+    scoring on the *edge* table (3 columns, matches only) — see
+    ``linkage.run_linkage`` — and union-find is invariant to duplicate
+    edges anyway.
+    """
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         if oversize_counter is not None and len(df) > cap:
             oversize_counter.add.remote(df["block_key"].iloc[0], len(df))
         return _pairs_from_group(df, cap, window)
 
-    pairs = ds.groupby("block_key").map_groups(gen, batch_format="pandas")
-    # cross-key dedup: first row per pair_key (all duplicates are identical)
-    return (pairs.groupby("pair_key")
-            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+    return ds.groupby("block_key").map_groups(gen, batch_format="pandas")

@@ -16,7 +16,17 @@ table, and Ray's object store spills it if needed.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
+
+
+def _rename(ds, mapping: dict):
+    """rename via an Arrow map_batches (Dataset.rename_columns breaks on
+    pandas-backed blocks in Ray 2.49)."""
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def connected_components(edges, num_partitions: int = 32,
@@ -28,10 +38,10 @@ def connected_components(edges, num_partitions: int = 32,
     singletons their own node_id via a left join.
     """
     # symmetric edge list: (src, dst) both directions
-    fwd = edges.select_columns(["u", "v"]).rename_columns(
-        {"u": "src", "v": "dst"}).select_columns(["src", "dst"])
-    rev = edges.select_columns(["v", "u"]).rename_columns(
-        {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
+    fwd = _rename(edges.select_columns(["u", "v"]),
+                  {"u": "src", "v": "dst"}).select_columns(["src", "dst"])
+    rev = _rename(edges.select_columns(["v", "u"]),
+                  {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     sym = fwd.union(rev).materialize()
 
     # initial labels: every endpoint labels itself
@@ -39,8 +49,8 @@ def connected_components(edges, num_partitions: int = 32,
         sym.select_columns(["src"])
         .groupby("src").count()
         .drop_columns(["count()"])
-        .rename_columns({"src": "node_id"})
-        .map_batches(lambda b: b.append_column("label", b["node_id"]),
+        .map_batches(lambda b: pa.table({"node_id": b["src"],
+                                         "label": b["src"]}),
                      batch_format="pyarrow")
         .materialize()
     )
@@ -53,8 +63,8 @@ def connected_components(edges, num_partitions: int = 32,
                      on=("dst",), right_on=("node_id",))
             .select_columns(["src", "label"])
             .groupby("src").min("label")
-            .rename_columns({"src": "node_id", "min(label)": "nbr_label"})
         )
+        cand = _rename(cand, {"src": "node_id", "min(label)": "nbr_label"})
         merged = labels.join(
             cand, join_type="left_outer", num_partitions=num_partitions,
             on=("node_id",),
@@ -76,4 +86,4 @@ def connected_components(edges, num_partitions: int = 32,
         if not n_changed:
             break
 
-    return labels.rename_columns({"label": "cluster_id"})
+    return _rename(labels, {"label": "cluster_id"})

@@ -1,0 +1,150 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline pipeline: record linkage (normalize -> dedup-extract -> blocking ->
+pair-gen -> scoring -> union-find) over the deterministic synthetic
+transcript table derived from $GRAFT_SF_DIR's scale, plus the
+training-data operator suite over the driver parquet tables.
+
+  python bench.py             # single run, prints the JSON line
+  python bench.py --scaling   # same job at num_cpus=8 and 32 in fresh
+                              # processes; reports throughput + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def run_linkage_bench(sf_dir: str):
+    """Headline: full linkage pipeline; returns (seconds, turns, turns/sec)."""
+    import ray
+    from ai_bangladesh_address_parser_ray.pipelines.linkage import (
+        LinkageConfig, run_linkage)
+    from ai_bangladesh_address_parser_ray.sources.synthetic import synth_dir_for
+
+    d = synth_dir_for(sf_dir)
+    ds = ray.data.read_parquet(f"{d}/transcripts")
+    n_turns = ds.count()
+    t0 = time.time()
+    out = run_linkage(ds, LinkageConfig(
+        extract_concurrency=max(2, NUM_CPUS // 4),
+        num_partitions=max(16, NUM_CPUS * 2)))
+    # consume the stream (no driver materialization of the big table)
+    rows = 0
+    for b in out["turns"].select_columns(["cluster_id"]).iter_batches(
+            batch_format="pyarrow"):
+        rows += b.num_rows
+    dt = time.time() - t0
+    assert rows == n_turns, (rows, n_turns)
+    return dt, n_turns, n_turns / dt
+
+
+def run_query_suite(sf_dir: str) -> dict:
+    """Secondary per-query timings over the driver tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    qs = E.queries()
+    picks = ["exact_dedup_docs", "token_counts_docs", "quality_docs",
+             "doc_stats_by_lang", "lineitem_pricing", "normalize_docs",
+             "knn_cosine_topk", "embedding_dup_pairs", "simhash_dup_pairs",
+             "minhash_dup_pairs"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "iter_batches"):          # Dataset: consume stream
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+        else:
+            n = len(res)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run(num_cpus: int, include_queries: bool = True) -> dict:
+    _init_ray(num_cpus)
+    link_s, n_turns, tps = run_linkage_bench(SF_DIR)
+    queries = {"linkage": round(link_s, 3)}
+    if include_queries:
+        queries.update(run_query_suite(SF_DIR))
+    total = sum(queries.values())
+    return {
+        "metric": "total_pipeline_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "linkage_turns": n_turns,
+        "linkage_turns_per_sec": round(tps, 1),
+    }
+
+
+def _subprocess_run(num_cpus: int) -> dict:
+    """Fresh process + fresh ray session at the given CPU count."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single-linkage"],
+        env=env, capture_output=True, text=True, timeout=3600)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def scaling():
+    """North-rule scaling evidence: same job, fresh sessions at N and 4N
+    CPUs (the sandbox stand-in for N vs 4N nodes)."""
+    lo, hi = 8, 32
+    r_lo = _subprocess_run(lo)
+    r_hi = _subprocess_run(hi)
+    tput_lo = r_lo["linkage_turns_per_sec"]
+    tput_hi = r_hi["linkage_turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"linkage_cpus{lo}": r_lo["queries"]["linkage"],
+                    f"linkage_cpus{hi}": r_hi["queries"]["linkage"]},
+        "sf": SF_DIR,
+        "num_cpus": hi,
+        "throughput_lo": tput_lo,
+        "throughput_hi": tput_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+    }))
+
+
+def main():
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--single-linkage" in sys.argv:
+        # child mode for --scaling: linkage only, fresh session
+        print(json.dumps(single_run(NUM_CPUS, include_queries=False)))
+    else:
+        print(json.dumps(single_run(NUM_CPUS)))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

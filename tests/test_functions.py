@@ -1,0 +1,309 @@
+"""Tests for the training-data operator family (functions/*).
+
+Oracles are single-process pandas/numpy reimplementations over the driver
+testdata at sf0.001 (small, deterministic)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    return pd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _docs_ds():
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def _emb_ds():
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# ----------------------------------------------------------- hashing ----
+
+class TestHashing:
+    def test_minhash_estimates_jaccard(self):
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            estimate_jaccard, minhash_signature)
+        a = [f"tok{i}" for i in range(100)]
+        b = [f"tok{i}" for i in range(50, 150)]   # true J = 50/150 = 1/3
+        sa = minhash_signature(a, 256)
+        sb = minhash_signature(b, 256)
+        est = estimate_jaccard(sa, sb)
+        assert abs(est - 1 / 3) < 0.12
+
+    def test_minhash_deterministic_across_calls(self):
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            minhash_signature)
+        s1 = minhash_signature(["a", "b", "c"])
+        s2 = minhash_signature(["c", "b", "a"])   # set semantics: order-free
+        assert (s1 == s2).all()
+
+    def test_simhash_similar_texts_close(self):
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            hamming64, simhash64)
+        t = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = t.replace("lazy", "sleepy", 1)
+        t3 = "completely different words entirely unrelated content here"
+        assert hamming64(simhash64(t), simhash64(t2)) < \
+            hamming64(simhash64(t), simhash64(t3))
+
+    def test_winnow_stable_under_local_edit(self):
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            winnow_fingerprint)
+        t = "alpha beta gamma delta " * 20
+        assert winnow_fingerprint(t) == winnow_fingerprint(t)
+        assert winnow_fingerprint(t) != winnow_fingerprint(t + "omega zed")
+
+    def test_simhash_band_pigeonhole(self):
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            simhash_band_values)
+        a, b = 0b1010, 0b1011   # hamming 1 < 4 bands
+        ba = dict(simhash_band_values(a, 4))
+        bb = dict(simhash_band_values(b, 4))
+        assert any(ba[i] == bb[i] for i in range(4))
+
+
+# ------------------------------------------------------------- dedup ----
+
+class TestDedup:
+    def test_exact_dedup_matches_pandas(self, ray_session, docs_df):
+        import hashlib
+        from ai_bangladesh_address_parser_ray.functions.dedup import exact_dedup
+        got = exact_dedup(_docs_ds()).to_pandas()
+        exp = (docs_df.assign(
+            text_hash=docs_df.text.map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()))
+            .groupby("text_hash")
+            .agg(rep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index())
+        got = got.sort_values("text_hash").reset_index(drop=True)
+        exp = exp.sort_values("text_hash").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["text_hash", "rep_id", "n_dups"]],
+            exp[["text_hash", "rep_id", "n_dups"]],
+            check_dtype=False)
+
+    def test_ngram_jaccard_matches_bruteforce(self, ray_session, docs_df):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            ngram_jaccard_pairs)
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            exact_jaccard)
+        import ray.data
+        sub = docs_df.head(150)
+        ds = ray.data.from_pandas(sub)
+        got = ngram_jaccard_pairs(ds, threshold=0.8, num_partitions=4)
+        got = got.to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        exp_rows = []
+        recs = sub[["doc_id", "text"]].values
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                jac = exact_jaccard(recs[i][1], recs[j][1])
+                if jac >= 0.8:
+                    a, b = sorted((int(recs[i][0]), int(recs[j][0])))
+                    exp_rows.append((a, b, jac))
+        exp = pd.DataFrame(exp_rows, columns=["a_id", "b_id", "jaccard"]) \
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        assert len(exp) > 0, "fixture should contain near-dup docs"
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_minhash_pairs_cover_near_dups(self, ray_session, docs_df):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            minhash_lsh_pairs)
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            exact_jaccard)
+        got = minhash_lsh_pairs(_docs_ds(), est_threshold=0.5).to_pandas()
+        got_pairs = set(zip(got.a_id, got.b_id))
+        texts = dict(zip(docs_df.doc_id, docs_df.text))
+        # every very-high-jaccard pair must be found
+        strong = [(a, b) for (a, b) in got_pairs
+                  if exact_jaccard(texts[a], texts[b]) >= 0.9]
+        assert len(strong) > 0
+
+    def test_simhash_pairs_sane(self, ray_session, docs_df):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            simhash_pairs)
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            hamming64, simhash64)
+        got = simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+        texts = dict(zip(docs_df.doc_id, docs_df.text))
+        for r in got.itertuples():
+            assert hamming64(simhash64(texts[r.a_id]),
+                             simhash64(texts[r.b_id])) == r.hamming
+            assert r.hamming <= 3
+
+    def test_embedding_cosine_pairs_match_numpy(self, ray_session, emb_df):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            embedding_cosine_pairs)
+        got = embedding_cosine_pairs(_emb_ds(), tau=0.4).to_pandas()
+        got_pairs = set(zip(got.a_id, got.b_id))
+        M = np.asarray([np.asarray(v, np.float64) for v in emb_df.embedding])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        ids = emb_df.vec_id.to_numpy()
+        exp = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= 0.4:
+                    exp.add((int(min(ids[i], ids[j])),
+                             int(max(ids[i], ids[j]))))
+        assert got_pairs == exp and len(exp) > 0
+
+
+# -------------------------------------------------------- similarity ----
+
+class TestSimilarity:
+    def _brute(self, emb_df, nq=5, k=5):
+        M = np.asarray([np.asarray(v, np.float64) for v in emb_df.embedding])
+        ids = emb_df.vec_id.to_numpy()
+        order = np.argsort(ids)
+        M, ids = M[order], ids[order]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = {}
+        for qi in range(nq):
+            sims = Mn[qi] @ Mn.T
+            cand = [(float(sims[j]), int(ids[j]))
+                    for j in range(len(ids)) if ids[j] != ids[qi]]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            out[int(ids[qi])] = cand[:k]
+        return out
+
+    def test_knn_brute_matches_numpy(self, ray_session, emb_df):
+        from ai_bangladesh_address_parser_ray.functions.similarity import (
+            knn_brute)
+        sub = emb_df.sort_values("vec_id")
+        mat = np.asarray([np.asarray(v, np.float64)
+                          for v in sub.embedding.head(5)])
+        ids = sub.vec_id.head(5).tolist()
+        got = knn_brute(_emb_ds(), mat, ids, k=5).to_pandas()
+        exp = self._brute(emb_df, nq=5, k=5)
+        for qid, ranked in exp.items():
+            g = got[got.query_id == qid].sort_values("rank")
+            assert g.neighbor_id.tolist() == [nid for _, nid in ranked]
+            np.testing.assert_allclose(
+                g.score.to_numpy(), [round(s, 6) for s, _ in ranked],
+                atol=1e-6)
+
+    def test_knn_lsh_recall(self, ray_session, emb_df):
+        from ai_bangladesh_address_parser_ray.functions.similarity import (
+            knn_lsh)
+        sub = emb_df.sort_values("vec_id")
+        mat = np.asarray([np.asarray(v, np.float64)
+                          for v in sub.embedding.head(5)])
+        ids = sub.vec_id.head(5).tolist()
+        got = knn_lsh(_emb_ds(), mat, ids, k=5, n_planes=4).to_pandas()
+        exp = self._brute(emb_df, nq=5, k=5)
+        hits = total = 0
+        for qid, ranked in exp.items():
+            want = {nid for _, nid in ranked}
+            have = set(got[got.query_id == qid].neighbor_id)
+            hits += len(want & have)
+            total += len(want)
+        # approximate by design: assert a sanity floor well above chance
+        # (the fixture's nearest neighbors sit near cos~0.4, so sign-LSH
+        # recall is modest but must beat random bucketing)
+        assert hits / total >= 0.25
+
+
+# ------------------------------------------------------ text analysis ----
+
+class TestTextAnalysis:
+    def test_token_counts_match_python(self, ray_session, docs_df):
+        import re
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            BPE_RE, token_counts)
+        got = token_counts(_docs_ds()).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp_tok = docs_df.sort_values("doc_id").text \
+            .map(lambda t: len(t.split())).to_numpy()
+        exp_bpe = docs_df.sort_values("doc_id").text \
+            .map(lambda t: len(re.findall(BPE_RE, t))).to_numpy()
+        assert (got.n_tokens.to_numpy() == exp_tok).all()
+        assert (got.n_bpe_tokens.to_numpy() == exp_bpe).all()
+
+    def test_quality_scores_bounded(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            quality_scores)
+        got = quality_scores(_docs_ds()).to_pandas()
+        assert ((got.quality >= 0) & (got.quality <= 1)).all()
+        assert ((got.punct_ratio >= 0) & (got.punct_ratio <= 1)).all()
+
+    def test_lang_id_scripts(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            lang_id_one)
+        assert lang_id_one("ঢাকা মিরপুর রোড নম্বর")[0] == "bn"
+        assert lang_id_one("的 是 不 了 人 我 在 有 他")[0] == "zh"
+        assert lang_id_one("the cat is on the mat and it is fine")[0] == "en"
+        assert lang_id_one("el perro y la casa de los que se fueron")[0] == "es"
+        assert lang_id_one("")[0] == "und"
+
+    def test_fingerprints_deterministic(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            fingerprints)
+        a = fingerprints(_docs_ds()).to_pandas().sort_values("doc_id")
+        b = fingerprints(_docs_ds()).to_pandas().sort_values("doc_id")
+        assert (a.fingerprint.to_numpy() == b.fingerprint.to_numpy()).all()
+
+
+# -------------------------------------------------------------- stats ----
+
+class TestStats:
+    def test_doc_stats_by_lang(self, ray_session, docs_df):
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            doc_stats_by_lang)
+        got = doc_stats_by_lang(_docs_ds()).to_pandas()
+        exp = (docs_df.groupby("lang")["n_chars"]
+               .agg(n_docs="size", avg_chars="mean", min_chars="min",
+                    max_chars="max").reset_index().sort_values("lang")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_top_k_deterministic_tiebreak(self, ray_session, docs_df):
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            top_k_by_count)
+        got = top_k_by_count(_docs_ds().select_columns(["source"]),
+                             "source", k=10).to_pandas()
+        exp = (docs_df.groupby("source").size().rename("n").reset_index()
+               .sort_values(["n", "source"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["source", "n"]], exp[["source", "n"]], check_dtype=False)
+
+
+# --------------------------------------------------------- multimodal ----
+
+class TestMultimodal:
+    def test_decode_fake_schema(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            attach_fake_media, decode_stage)
+        media = attach_fake_media(_docs_ds())
+        out = decode_stage(media, fake=True).to_pandas()
+        assert {"media_id", "width", "height", "mean_luma"} <= set(out.columns)
+        assert "payload" not in out.columns
+        assert len(out) == 500
+
+    def test_decode_real_raises(self):
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            DecodeImage)
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)._decode(b"xx")
+
+    def test_frame_sample_explodes(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            attach_fake_media, frame_sample_stage)
+        media = attach_fake_media(_docs_ds())
+        out = frame_sample_stage(media, n_frames=4).to_pandas()
+        assert len(out) == 500 * 4
+        assert out.groupby("media_id").frame_idx.nunique().eq(4).all()
