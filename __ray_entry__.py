@@ -211,6 +211,34 @@ def _q_knn_lsh(sf_dir):
     return F_sim.knn_lsh(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
 
 
+def _extracted(sf_dir):
+    return dedup_extract_stage(normalize_stage(_transcripts(sf_dir)))
+
+
+def _q_validate_turns(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import validate_stage
+    return validate_stage(_extracted(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "is_valid", "completeness", "v_score"])
+
+
+def _q_format_turns(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import format_stage
+    return format_stage(_extracted(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "formatted"])
+
+
+def _q_district_distribution(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        district_distribution)
+    return district_distribution(_extracted(sf_dir), k=10)
+
+
+def _q_corpus_stats(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        corpus_statistics)
+    return corpus_statistics(_extracted(sf_dir))
+
+
 def _q_media_frames(sf_dir):
     media = F_mm.attach_fake_media(_read(sf_dir, "documents"))
     return F_mm.frame_sample_stage(media, n_frames=4, fake=True)
@@ -240,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
         "media_frame_features": _q_media_frames,
+        "validate_turns": _q_validate_turns,
+        "format_turns": _q_format_turns,
+        "district_distribution": _q_district_distribution,
+        "corpus_stats": _q_corpus_stats,
     }
 
 

@@ -81,6 +81,19 @@ def distinct_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
 _SIG_COL = "_sig"
 
 
+def _add_hash_bucket(key_col: str, num_buckets: int):
+    """Shuffle by crc32(key) % num_buckets instead of raw key: a bucket
+    holds thousands of groups, amortizing per-group call overhead and
+    spreading Zipf-skewed keys uniformly."""
+    import zlib
+
+    def _f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        b = [zlib.crc32(k.encode("utf-8")) % num_buckets for k in keys]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+    return _f
+
+
 def _minhash_bands_batch(batch: pa.Table, text_col, id_col, num_hashes,
                          bands, shingle_n) -> pa.Table:
     """Task: text -> MinHash signature -> one row per LSH band key.
@@ -108,25 +121,44 @@ def _minhash_bands_batch(batch: pa.Table, text_col, id_col, num_hashes,
     })
 
 
-def _bucket_pairs_fn(id_col: str, est_threshold: float, cap: int):
+def _banded_bucket_pairs_fn(id_col: str, est_threshold: float, cap: int):
+    """Process ALL band groups of one hash bucket in a single call — the
+    per-group work is a vectorized (g x g) signature comparison, and the
+    call overhead amortizes over thousands of (mostly tiny) buckets."""
     import pandas as pd
 
     def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.drop_duplicates(id_col).sort_values(id_col).reset_index(drop=True)
-        n = len(df)
-        cols = {"a_id": [], "b_id": [], "est_jaccard": []}
-        if n >= 2:
-            m = min(n, cap)   # capped: oversized buckets are salted upstream
-            sigs = [np.asarray(s, dtype=np.uint64) for s in df[_SIG_COL][:m]]
-            ids = df[id_col].tolist()
-            for i in range(m - 1):
-                for j in range(i + 1, m):
-                    est = estimate_jaccard(sigs[i], sigs[j])
-                    if est >= est_threshold:
-                        cols["a_id"].append(ids[i])
-                        cols["b_id"].append(ids[j])
-                        cols["est_jaccard"].append(round(est, 6))
-        return pd.DataFrame(cols)
+        df = (df.drop_duplicates(["band_key", id_col])
+                .sort_values(["band_key", id_col], kind="mergesort")
+                .reset_index(drop=True))
+        if len(df) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []})
+        keys = df["band_key"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sigs = np.vstack([np.asarray(s, dtype=np.uint64)
+                          for s in df[_SIG_COL]])
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(df)]])
+        a_out, b_out, est_out = [], [], []
+        for s, e in zip(starts, ends):
+            g = min(e - s, cap)   # capped: bounds the quadratic worst case
+            if g < 2:
+                continue
+            gs = sigs[s:s + g]                       # (g, H) uint64
+            est = (gs[:, None, :] == gs[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(g, k=1)
+            keepm = est[iu, ju] >= est_threshold
+            a_out.append(ids[s + iu[keepm]])
+            b_out.append(ids[s + ju[keepm]])
+            est_out.append(np.round(est[iu, ju][keepm], 6))
+        if not a_out:
+            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []})
+        return pd.DataFrame({
+            "a_id": np.concatenate(a_out),
+            "b_id": np.concatenate(b_out),
+            "est_jaccard": np.concatenate(est_out),
+        })
     return _pairs
 
 
@@ -145,8 +177,12 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         fn_kwargs=dict(text_col=text_col, id_col=id_col,
                        num_hashes=num_hashes, bands=bands, shingle_n=3),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
-    pairs = banded.groupby("band_key").map_groups(
-        _bucket_pairs_fn(id_col, est_threshold, cap), batch_format="pandas")
+    bucketed = banded.map_batches(
+        _add_hash_bucket("band_key", 64),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bucketed.groupby("bucket").map_groups(
+        _banded_bucket_pairs_fn(id_col, est_threshold, cap),
+        batch_format="pandas")
     # cross-band dedup: keep max estimate per pair
     from ray.data.aggregate import Max
     return pairs.groupby(["a_id", "b_id"]).aggregate(
@@ -217,22 +253,44 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     import pandas as pd
 
     def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.drop_duplicates(id_col).sort_values(id_col).reset_index(drop=True)
-        n = min(len(df), cap)
-        cols = {"a_id": [], "b_id": [], "hamming": []}
-        ids = df[id_col].tolist()
-        fps = df["_fp"].tolist()
-        for i in range(n - 1):
-            for j in range(i + 1, n):
-                d = hamming64(int(fps[i]), int(fps[j]))
-                if d <= max_hamming:
-                    cols["a_id"].append(ids[i])
-                    cols["b_id"].append(ids[j])
-                    cols["hamming"].append(d)
-        return pd.DataFrame(cols)
+        df = (df.drop_duplicates(["band_key", id_col])
+                .sort_values(["band_key", id_col], kind="mergesort")
+                .reset_index(drop=True))
+        if len(df) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
+        keys = df["band_key"].to_numpy()
+        ids = df[id_col].to_numpy()
+        fps = df["_fp"].to_numpy().astype(np.uint64)
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(df)]])
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            g = min(e - s, cap)
+            if g < 2:
+                continue
+            gf = fps[s:s + g]
+            iu, ju = np.triu_indices(g, k=1)
+            x = gf[iu] ^ gf[ju]
+            # vectorized popcount over uint64 via byte view
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            a_out.append(ids[s + iu[keep]])
+            b_out.append(ids[s + ju[keep]])
+            h_out.append(ham[keep].astype(np.int64))
+        if not a_out:
+            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
+        return pd.DataFrame({"a_id": np.concatenate(a_out),
+                             "b_id": np.concatenate(b_out),
+                             "hamming": np.concatenate(h_out)})
 
     banded = ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = banded.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+    bucketed = banded.map_batches(
+        _add_hash_bucket("band_key", 64),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bucketed.groupby("bucket").map_groups(_pairs,
+                                                  batch_format="pandas")
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
 

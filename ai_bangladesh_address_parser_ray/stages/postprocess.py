@@ -1,0 +1,91 @@
+"""Post-extraction utility stages: validation, formatting, statistics.
+
+Distributed twins of the reference's corpus utilities
+(``/root/reference/src/core/utils/address_utils.py``):
+
+- :func:`validate_stage`  (A5, :9-66)  — fully vectorized pyarrow.compute:
+  completeness fraction, required-field gate, postal format check,
+  score = 0.7*required + 0.3*completeness
+- :func:`format_stage`    (A6, :69-128) — canonical string assembly per row
+  (string concat per style; python loop over the batch, cheap)
+- :func:`district_distribution` / :func:`corpus_statistics` (A1, :262-324)
+  — partial-aggregating groupbys, driver only sees the tiny result
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import COMPONENT_FIELDS
+from ..kernel.validate_format import format_address
+
+
+def _present(batch: pa.Table, field: str):
+    return pc.greater(pc.utf8_length(
+        pc.utf8_trim_whitespace(pc.fill_null(batch[field], ""))), 0)
+
+
+def validate_stage(ds):
+    """Append is_valid / completeness / missing_count / v_score columns.
+
+    Pure pyarrow.compute kernel chain — semantics match
+    ``kernel.validate_format.validate_address`` element-wise (tested)."""
+    def _f(batch: pa.Table) -> pa.Table:
+        n_present = None
+        for f in COMPONENT_FIELDS:
+            m = pc.cast(_present(batch, f), pa.int32())
+            n_present = m if n_present is None else pc.add(n_present, m)
+        completeness = pc.divide(pc.cast(n_present, pa.float64()),
+                                 float(len(COMPONENT_FIELDS)))
+        required_ok = pc.or_(_present(batch, "district"),
+                             _present(batch, "area"))
+        postal = pc.utf8_trim_whitespace(
+            pc.fill_null(batch["postal_code"], ""))
+        postal_bad = pc.and_(
+            pc.greater(pc.utf8_length(postal), 0),
+            pc.invert(pc.match_substring_regex(postal, r"^\d{4}$")))
+        is_valid = pc.and_(required_ok, pc.invert(postal_bad))
+        score = pc.round(pc.add(
+            pc.multiply(pc.cast(required_ok, pa.float64()), 0.7),
+            pc.multiply(completeness, 0.3)), ndigits=3)
+        return (batch
+                .append_column("is_valid", is_valid)
+                .append_column("completeness", completeness)
+                .append_column("missing_count", pc.subtract(
+                    pa.scalar(len(COMPONENT_FIELDS), pa.int32()), n_present))
+                .append_column("v_score", score))
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def format_stage(ds, style: str = "full", separator: str = ", ",
+                 include_postal: bool = True, out_col: str = "formatted"):
+    def _f(batch: pa.Table) -> pa.Table:
+        rows = batch.select(COMPONENT_FIELDS).to_pylist()
+        vals = [format_address(r, style, separator, include_postal)
+                for r in rows]
+        return batch.append_column(out_col, pa.array(vals, pa.string()))
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def district_distribution(extracted, k: int = 10):
+    """A1's top-10 district histogram over rows that extracted a district."""
+    from ..functions.stats import top_k_by_count
+    nonempty = extracted.select_columns(["district"]).map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.utf8_length(pc.fill_null(b["district"], "")), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_by_count(nonempty, "district", k=k)
+
+
+def corpus_statistics(extracted):
+    """A1 scalars: row count, mean completeness, mean confidence. Returns a
+    1-row pyarrow table (aggregate runs distributed; driver sees scalars)."""
+    from ray.data.aggregate import Count, Mean
+    v = validate_stage(extracted)
+    agg = v.aggregate(
+        Count("completeness", alias_name="n_rows"),
+        Mean("completeness", alias_name="mean_completeness"),
+        Mean("overall_confidence", alias_name="mean_confidence"),
+    )
+    return pa.table({k: [v] for k, v in agg.items()})

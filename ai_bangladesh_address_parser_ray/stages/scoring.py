@@ -16,30 +16,62 @@ from ..kernel.compare import MATCH_THRESHOLD, score_pair
 from .. import COMPONENT_FIELDS
 
 
+from ..kernel.compare import (ALL_COMPONENTS, COMPARE_WEIGHTS,
+                              _IDENTIFIER_FIELDS)
+
+
 def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Vectorized twin of ``kernel.compare.score_pair`` over a pair batch.
+
+    After extraction canonicalizes surface variants, almost every component
+    similarity is decided by exact (lowercased) equality — 1.0 — or by the
+    identifier-exact rule — 0.0. Both vectorize. Only pairs with a
+    non-equal *textual* field (fuzzy ensemble needed) fall back to the
+    Python kernel, row by row; tests assert batch == kernel element-wise.
+    """
     import numpy as np
 
-    # vectorized fast path: pairs whose 9 component fields are all equal
-    # score exactly 1.0 (score_pair of identical non-empty components) —
-    # after extraction canonicalizes surface variants, this is the common
-    # case, and also what makes duplicate pairs from overlapping blocking
-    # keys nearly free to re-score
-    all_eq = np.ones(len(df), dtype=bool)
-    any_field = np.zeros(len(df), dtype=bool)
-    for f in COMPONENT_FIELDS:
-        l = df["l_" + f].fillna("").to_numpy()
-        r = df["r_" + f].fillna("").to_numpy()
-        all_eq &= (l == r)
-        any_field |= (l != "") | (r != "")
-    fast = all_eq & any_field
+    n = len(df)
+    ncomp = len(ALL_COMPONENTS)
+    sims = np.full((ncomp, n), np.nan)
+    slow_mask = np.zeros(n, dtype=bool)
 
-    scores = np.empty(len(df), dtype="float64")
-    matches = np.empty(len(df), dtype=bool)
-    scores[fast] = 1.0
-    matches[fast] = True
+    for i, f in enumerate(ALL_COMPONENTS):
+        ls = df["l_" + f].fillna("").astype(str).str.strip().str.lower()
+        rs = df["r_" + f].fillna("").astype(str).str.strip().str.lower()
+        l, r = ls.to_numpy(), rs.to_numpy()
+        both = (l != "") & (r != "")
+        eq = both & (l == r)
+        sims[i, eq] = 1.0
+        ne = both & ~eq
+        if ne.any():
+            if f in _IDENTIFIER_FIELDS:
+                is_id_l = (ls.str.len().le(6)
+                           & ls.str.contains(r"\d", regex=True)).to_numpy()
+                is_id_r = (rs.str.len().le(6)
+                           & rs.str.contains(r"\d", regex=True)).to_numpy()
+                id_exact = ne & (is_id_l | is_id_r)
+                sims[i, id_exact] = 0.0
+                slow_mask |= ne & ~id_exact
+            else:
+                slow_mask |= ne
 
-    if (~fast).any():
-        slow = df.loc[~fast]
+    w = np.array([COMPARE_WEIGHTS.get(f, 0.0) for f in ALL_COMPONENTS])
+    present = ~np.isnan(sims)
+    weighted_present = present & (w[:, None] > 0)
+    tw = (w[:, None] * weighted_present).sum(axis=0)
+    ws = np.nansum(np.where(weighted_present, sims, 0.0) * w[:, None], axis=0)
+    # tw == 0 -> fall back to avg of all present sims (kernel semantics);
+    # no sims at all -> 0.0
+    n_present = present.sum(axis=0)
+    avg = np.where(n_present > 0,
+                   np.nansum(np.where(present, sims, 0.0), axis=0)
+                   / np.maximum(n_present, 1), 0.0)
+    scores = np.round(np.where(tw > 0, ws / np.maximum(tw, 1e-12), avg), 3)
+    matches = scores >= threshold
+
+    if slow_mask.any():
+        slow = df.loc[slow_mask]
         s_scores, s_matches = [], []
         for row in slow.itertuples(index=False):
             d = row._asdict()
@@ -48,8 +80,8 @@ def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
             s = score_pair(c1, c2, threshold)
             s_scores.append(s["score"])
             s_matches.append(s["match"])
-        scores[~fast] = s_scores
-        matches[~fast] = s_matches
+        scores[slow_mask] = s_scores
+        matches[slow_mask] = s_matches
 
     out = df[["pair_key", "u", "v"]].copy()
     out["score"] = pd.Series(scores, index=df.index, dtype="float64")

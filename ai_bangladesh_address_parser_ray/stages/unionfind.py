@@ -29,13 +29,34 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BROADCAST_LABEL_LIMIT = 2_000_000
+
+
 def connected_components(edges, num_partitions: int = 32,
-                         max_rounds: int = 12):
+                         max_rounds: int = 16,
+                         broadcast_limit: int = BROADCAST_LABEL_LIMIT):
     """edges: Dataset[(u:string, v:string)] -> Dataset[(node_id, cluster_id)].
 
     cluster_id is the lexicographic min node_id of the component (stable,
     deterministic). Nodes not present in any edge are absent — callers give
     singletons their own node_id via a left join.
+
+    Two physical strategies, same semantics:
+
+    - **broadcast** (label table fits the driver, <= broadcast_limit nodes):
+      per round, the label map is ``ray.put`` once and every edge block
+      computes per-src partial min-neighbor-labels in a map task (no
+      shuffle); the driver folds the tiny partials and fully
+      path-compresses the label forest between rounds, so convergence is
+      O(log diameter) rounds. Edge blocks stream — only labels live on the
+      driver. Blocking keeps components (and thus the label table per
+      connected subgraph) small; 2M labels ~ 100 MB.
+    - **hash-join** (label table too big to broadcast): classic iterative
+      hash-partitioned min-label propagation — edges x labels join,
+      groupby(src).min(label), left join back, repeat to fixed point.
+
+    Both are monotone (labels only decrease), so retries/replays converge
+    to the identical partition.
     """
     # symmetric edge list: (src, dst) both directions
     fwd = _rename(edges.select_columns(["u", "v"]),
@@ -43,6 +64,9 @@ def connected_components(edges, num_partitions: int = 32,
     rev = _rename(edges.select_columns(["v", "u"]),
                   {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     sym = fwd.union(rev).materialize()
+
+    if sym.count() <= 2 * broadcast_limit:
+        return _broadcast_components(sym, max_rounds)
 
     # initial labels: every endpoint labels itself
     labels = (
@@ -87,3 +111,53 @@ def connected_components(edges, num_partitions: int = 32,
             break
 
     return _rename(labels, {"label": "cluster_id"})
+
+
+def _broadcast_components(sym, max_rounds: int):
+    """Broadcast-label propagation (see connected_components docstring)."""
+    import pandas as pd
+    import ray
+
+    # initial labels: every endpoint labels itself (driver dict, small side)
+    labels: dict = {}
+    for b in sym.select_columns(["src"]).iter_batches(batch_format="pyarrow"):
+        for nid in b["src"].to_pylist():
+            labels[nid] = nid
+
+    for _ in range(max_rounds):
+        ref = ray.put(labels)
+
+        def prop(batch: pa.Table) -> pa.Table:
+            lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            df = pd.DataFrame({"src": batch["src"].to_pylist(),
+                               "dst": batch["dst"].to_pylist()})
+            df["dlab"] = df["dst"].map(lab)
+            part = df.groupby("src", sort=False)["dlab"].min().reset_index()
+            return pa.table({"node_id": part["src"].astype(str),
+                             "label": part["dlab"].astype(str)})
+
+        partials = sym.map_batches(prop, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        changed = 0
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for nid, cand in zip(b["node_id"].to_pylist(),
+                                 b["label"].to_pylist()):
+                if cand < labels[nid]:
+                    labels[nid] = cand
+                    changed += 1
+        # full path compression: label(node) <- root label; O(nodes)
+        for nid in labels:
+            root = nid
+            while labels[root] != root:
+                root = labels[root]
+            while labels[nid] != root:
+                labels[nid], nid = root, labels[nid]
+        if changed == 0:
+            break
+
+    nodes = sorted(labels)
+    tbl = pa.table({"node_id": pa.array(nodes, pa.string()),
+                    "cluster_id": pa.array([labels[n] for n in nodes],
+                                           pa.string())})
+    import ray.data as rd
+    return rd.from_arrow(tbl)

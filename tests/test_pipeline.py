@@ -147,6 +147,26 @@ class TestUnionFind:
         assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                        "x": "x", "y": "x"}
 
+    def test_hash_join_path_matches_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the distributed hash-join strategy;
+        both strategies must produce the identical partition."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            connected_components,
+        )
+        items = [{"u": "a", "v": "b"}, {"u": "b", "v": "c"},
+                 {"u": "c", "v": "d"}, {"u": "p", "v": "q"},
+                 {"u": "q", "v": "a"}]
+        e1 = ray.data.from_items(items)
+        e2 = ray.data.from_items(items)
+        bcast = {r["node_id"]: r["cluster_id"]
+                 for r in connected_components(e1, num_partitions=2).take_all()}
+        joined = {r["node_id"]: r["cluster_id"]
+                  for r in connected_components(
+                      e2, num_partitions=2, broadcast_limit=0).take_all()}
+        assert bcast == joined
+        assert set(bcast.values()) == {"a"}
+
     def test_deterministic_min_label(self, ray_session):
         import ray.data
         from ai_bangladesh_address_parser_ray.stages.unionfind import (

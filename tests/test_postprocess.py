@@ -1,0 +1,82 @@
+"""Tests for validate/format/statistics stages vs the kernel oracle."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, synth_small):
+    import ray.data
+    from ai_bangladesh_address_parser_ray.stages.extract import (
+        dedup_extract_stage)
+    from ai_bangladesh_address_parser_ray.stages.normalize import (
+        normalize_stage)
+    ds = ray.data.read_parquet(f"{synth_small}/transcripts")
+    return dedup_extract_stage(normalize_stage(ds), concurrency=2,
+                               num_partitions=2).materialize()
+
+
+class TestValidate:
+    def test_matches_kernel_oracle(self, extracted):
+        from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+        from ai_bangladesh_address_parser_ray.kernel.validate_format import (
+            validate_address)
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            validate_stage)
+        got = validate_stage(extracted).to_pandas()
+        for r in got.sample(200, random_state=0).itertuples():
+            comp = {f: getattr(r, f) for f in COMPONENT_FIELDS}
+            exp = validate_address(comp)
+            assert r.is_valid == exp["is_valid"], comp
+            assert abs(r.completeness - exp["completeness"]) < 1e-9
+            assert abs(r.v_score - exp["score"]) < 1e-9, comp
+
+
+class TestFormat:
+    def test_round_trip_canonical(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            format_stage)
+        got = format_stage(extracted, style="full").to_pandas()
+        with_addr = got[got.district != ""]
+        assert len(with_addr) > 0
+        # full style contains the district token for every extracted row
+        assert with_addr.apply(
+            lambda r: r.district in r.formatted, axis=1).all()
+
+    def test_styles_differ(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            format_stage)
+        full = format_stage(extracted, style="full").to_pandas()
+        mini = format_stage(extracted, style="minimal").to_pandas()
+        joined = full.merge(mini, on=["conv_id", "turn_idx"],
+                            suffixes=("_f", "_m"))
+        mask = joined.house_number_f != ""
+        assert (joined[mask].formatted_f.str.len()
+                >= joined[mask].formatted_m.str.len()).all()
+
+
+class TestStatistics:
+    def test_district_distribution(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            district_distribution)
+        got = district_distribution(extracted).to_pandas()
+        exp = (extracted.to_pandas().query("district != ''")
+               .groupby("district").size().rename("n").reset_index()
+               .sort_values(["n", "district"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_corpus_statistics(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            corpus_statistics)
+        got = corpus_statistics(extracted).to_pandas()
+        assert got.n_rows[0] == extracted.count()
+        assert 0 < got.mean_completeness[0] < 1
+
+    def test_suggest_areas(self):
+        from ai_bangladesh_address_parser_ray.kernel.validate_format import (
+            suggest_areas)
+        top = suggest_areas("gulsan", limit=3)
+        assert top[0]["area"] == "Gulshan"
+        top2 = suggest_areas("mirp", limit=3)
+        assert top2[0]["area"] == "Mirpur"
