@@ -46,8 +46,8 @@ class LinkageConfig:
     block_cap: int = 64          # all-pairs blocks up to C(cap,2) pairs
     block_window: int = 8        # sorted-neighborhood window beyond the cap
     score_threshold: float = 0.85
-    max_uf_rounds: int = 12
-    dedup_exact: bool = True
+    max_uf_rounds: int = 16
+    dedup_exact: object = "local"     # "local" | "shuffle" | True | False
     checkpoint_dir: Optional[str] = None
     thresholds: Optional[dict] = None
     stages: Optional[dict] = None
@@ -58,7 +58,7 @@ class LinkageConfig:
             if ray.is_initialized() else 8
         out = LinkageConfig(**asdict(self))
         if out.extract_concurrency is None:
-            out.extract_concurrency = max(2, cpus // 4)
+            out.extract_concurrency = max(2, cpus // 2)
         if out.num_partitions is None:
             out.num_partitions = max(4, min(cpus, 32))
         return out
@@ -83,10 +83,17 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     metrics: dict = {}
 
-    # ---- phase 1: normalize + extract (SHUFFLE 1 inside dedup_extract)
+    # ---- phase 1: normalize + extract.
+    # dedup_exact="shuffle": global distinct on text_h + extract-once +
+    #   join back (SHUFFLE 1) — pays when extraction cost x duplication
+    #   factor exceeds a turn-scale shuffle+join (expensive kernels, heavy
+    #   duplication).
+    # dedup_exact="local" (default): extract per turn through an
+    #   actor-local memo — with this kernel (~0.3 ms/string) the shuffle
+    #   and join back cost more than re-extracting the misses.
     def compute_extracted():
         ds = normalize_stage(transcripts)
-        if cfg.dedup_exact:
+        if cfg.dedup_exact == "shuffle" or cfg.dedup_exact is True:
             return dedup_extract_stage(
                 ds, concurrency=cfg.extract_concurrency,
                 batch_size=cfg.extract_batch_size,
@@ -106,26 +113,33 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
                  if cfg.checkpoint_dir else compute_extracted().materialize())
 
     # ---- phase 2: blocking + candidate pairs (SHUFFLE 2)
+    # Each phase below is pinned (parquet checkpoint or object-store
+    # materialize). Beyond resumability, this is a measured 6x wall-clock
+    # win: Ray 2.49's streaming executor serializes chained sort-based
+    # AllToAll operators (bucket groupby -> edge groupby) badly when
+    # planned as one lazy topology. All pinned tables are mention-scale
+    # (blocked keys / candidate pairs / edges), not turn-scale.
     def compute_pairs():
         entity_rows = extracted.map_batches(
             _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
-        blocked = blocking_stage(entity_rows)
+        blocked = blocking_stage(entity_rows).materialize()
         return candidate_pairs_stage(
             blocked, cap=cfg.block_cap, window=cfg.block_window)
 
     pairs = (ckpt.run("02_pairs", cfg_fp, compute_pairs)
-             if cfg.checkpoint_dir else compute_pairs())
+             if cfg.checkpoint_dir else compute_pairs().materialize())
 
     # ---- phase 3: scoring -> edges (deduped: a pair generated by several
     # blocking keys is scored per key — cheap, vectorized — then collapsed
     # here on the 3-column edge table instead of shuffling the wide pair
     # table before scoring)
+    # A pair generated by several blocking keys yields duplicate edges;
+    # union-find is invariant to multi-edges, so no dedup shuffle here —
+    # the groupby it would need (string (u,v) sort) measured more expensive
+    # than carrying ~3x edges through the (streaming, map-only) UF rounds.
     def compute_edges():
         scored = score_pairs_stage(pairs, threshold=cfg.score_threshold)
-        matched = scored.filter(expr="match == True")
-        from ray.data.aggregate import Min
-        return matched.groupby(["u", "v"]).aggregate(
-            Min("score", alias_name="score"))
+        return scored.filter(expr="match == True")
 
     # edge table is small (matched pairs only) and consumed iteratively by
     # union-find: pin it so rounds never re-run extraction/scoring
@@ -141,10 +155,21 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     clusters = (ckpt.run("04_clusters", cfg_fp, compute_clusters)
                 if cfg.checkpoint_dir else compute_clusters())
 
-    # ---- phase 5: label every turn; nodes outside any edge are singletons
+    # ---- phase 5: label every turn; nodes outside any edge are singletons.
+    # Join on the uint64 node hash (carried since normalize) — an 8-byte
+    # shuffle key instead of the long node_id string.
+    def _add_node_h(batch: pa.Table) -> pa.Table:
+        from ..stages.normalize import _hash64
+        return batch.append_column(
+            "node_h", _hash64(batch["node_id"].to_pylist()))
+
+    clusters_h = clusters.map_batches(
+        _add_node_h, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["node_id"])
+
     turns = extracted.join(
-        clusters, join_type="left_outer",
-        num_partitions=cfg.num_partitions, on=("node_id",),
+        clusters_h, join_type="left_outer",
+        num_partitions=cfg.num_partitions, on=("node_h",),
     ).map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("cluster_id"), "cluster_id",

@@ -79,20 +79,33 @@ def _bn_digits(s: str) -> str:
     return "".join(_BN_DIGITS.get(c, c) for c in s)
 
 
-def _zipf_choice(rng: random.Random, items: List, a: float = 1.2):
-    weights = [1.0 / (i + 1) ** a for i in range(len(items))]
-    return rng.choices(items, weights=weights, k=1)[0]
+def _zipf_cum_weights(n: int, a: float = 1.2) -> List[float]:
+    from itertools import accumulate
+    return list(accumulate(1.0 / (i + 1) ** a for i in range(n)))
+
+
+def _zipf_choice(rng: random.Random, items: List, a: float = 1.2,
+                 cum_weights: List[float] = None):
+    # rng.choices(weights=w) internally accumulates w then bisects, so
+    # passing a precomputed cum_weights yields the IDENTICAL random stream
+    # and output — it just drops the O(len(items)) rebuild per call, which
+    # at bench scale (~10^5 entities x 10^6 mentions) is the difference
+    # between seconds and hours of generation.
+    if cum_weights is None:
+        cum_weights = _zipf_cum_weights(len(items), a)
+    return rng.choices(items, cum_weights=cum_weights, k=1)[0]
 
 
 def generate_entities(n_entities: int, seed: int = 42) -> List[Dict[str, str]]:
     """K gold entities with Zipf-skewed areas; unique road per area."""
     rng = random.Random(seed)
     areas = sorted(AREAS)  # deterministic rank order for the Zipf skew
+    area_cum = _zipf_cum_weights(len(areas))
     road_counter: Dict[str, int] = {}
     house_pool: Dict[str, List[int]] = {}
     entities = []
     for i in range(n_entities):
-        area = _zipf_choice(rng, areas)
+        area = _zipf_choice(rng, areas, cum_weights=area_cum)
         district, division, codes = AREAS[area]
         road_counter[area] = road_counter.get(area, 0) + 1
         road = str(road_counter[area])  # unique per area => separability
@@ -168,6 +181,7 @@ def generate_transcripts(
     """-> (transcripts, mentions, entities) Arrow tables. Fully deterministic."""
     rng = random.Random(seed * 1_000_003 + 17)
     entities = generate_entities(n_entities, seed)
+    ent_cum = _zipf_cum_weights(len(entities))
 
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
     m_conv, m_turn, m_ent = [], [], []
@@ -178,7 +192,7 @@ def generate_transcripts(
             role = _ROLES[ti % 3] if rng.random() < 0.8 else rng.choice(_ROLES)
             tool = rng.choice(_TOOLS) if role == "tool" else ""
             if rng.random() < mention_fraction:
-                ent = _zipf_choice(rng, entities)
+                ent = _zipf_choice(rng, entities, cum_weights=ent_cum)
                 text = render_mention(ent, rng.randint(0, 5), rng)
                 m_conv.append(conv_id)
                 m_turn.append(ti)
@@ -218,11 +232,20 @@ _SF_PRESETS = {
     "sf0.001": dict(n_convs=120, turns_per_conv=8, n_entities=40),
     "sf0.01": dict(n_convs=1_200, turns_per_conv=8, n_entities=300),
     "sf0.1": dict(n_convs=12_000, turns_per_conv=8, n_entities=2_500),
+    # scaling-efficiency runs need compute >> fixed Ray latencies (actor
+    # spin-up, shuffle aggregator startup, phase barriers ~ tens of sec)
+    "sf-scaling": dict(n_convs=60_000, turns_per_conv=8, n_entities=12_000),
+    # ~4.8M turns: sized so the parallel fraction dominates the ~30s of
+    # per-session serial overhead (Amdahl: measured p~309s/480k turns at
+    # 1 cpu-eq, s~33s -> projected N->4N efficiency ~0.8 at this scale)
+    "sf-scaling-xl": dict(n_convs=600_000, turns_per_conv=8,
+                          n_entities=120_000),
 }
 
 
 def synth_params_for(sf_dir: str) -> dict:
     name = os.path.basename(os.path.normpath(sf_dir))
+    name = os.environ.get("GRAFT_SYNTH_PRESET", name)
     return dict(_SF_PRESETS.get(name, _SF_PRESETS["sf0.001"]))
 
 
@@ -231,6 +254,7 @@ def synth_dir_for(sf_dir: str, root: str = "/tmp/abap_synth") -> str:
     returns the directory containing transcripts/ mentions/ entities/."""
     params = synth_params_for(sf_dir)
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    name = os.environ.get("GRAFT_SYNTH_PRESET", name)
     out = os.path.join(root, name)
     return write_transcript_tables(out, seed=42, **params)
 

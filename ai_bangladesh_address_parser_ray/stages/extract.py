@@ -24,33 +24,52 @@ from ..kernel.extract import ExtractionKernel
 
 
 class ExtractTurns:
-    """Actor: batch of norm_text -> 9 component columns + overall_confidence."""
+    """Actor: batch of norm_text -> 9 component columns + overall_confidence.
+
+    Carries an actor-local memo keyed on the text (the reference's FIFO
+    cache, ``src/core/extractor.py:85-97``, made per-actor): duplicate
+    texts that land on the same actor are extracted once, with NO shuffle.
+    See ``dedup_extract_stage`` for when a global dedup pays instead."""
+
+    MEMO_CAP = 200_000
 
     def __init__(self, thresholds: Optional[Dict[str, float]] = None,
                  stages: Optional[Dict[str, bool]] = None,
-                 text_column: str = "norm_text"):
+                 text_column: str = "norm_text", memo: bool = True):
         self.kernel = ExtractionKernel(thresholds=thresholds, stages=stages)
         self.text_column = text_column
+        self.memo: Optional[Dict] = {} if memo else None
+
+    def _extract_one(self, t: str):
+        res = self.kernel.extract(t)
+        comp = res["components"]
+        row = tuple(comp[f] for f in COMPONENT_FIELDS) \
+            + (res["overall_confidence"],)
+        return row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
-        cols = {f: [] for f in COMPONENT_FIELDS}
-        confs = []
-        extract = self.kernel.extract  # bind once; hot loop below is the
-        # per-distinct-string regex kernel — O(distinct), not O(turns)
-        for t in texts:
-            # norm_text is already normalized; stage 2 inside the kernel is
-            # idempotent on normalized input so reuse the fused path as-is
-            res = extract(t or "")
-            comp = res["components"]
-            for f in COMPONENT_FIELDS:
-                cols[f].append(comp[f])
-            confs.append(res["overall_confidence"])
+        rows = []
+        memo = self.memo
+        if memo is None:
+            rows = [self._extract_one(t or "") for t in texts]
+        else:
+            for t in texts:
+                t = t or ""
+                row = memo.get(t)
+                if row is None:
+                    row = self._extract_one(t)
+                    if len(memo) >= self.MEMO_CAP:
+                        memo.clear()      # simple epoch eviction, O(1) amortized
+                    memo[t] = row
+                rows.append(row)
         out = batch
-        for f in COMPONENT_FIELDS:
-            out = out.append_column(f, pa.array(cols[f], pa.string()))
+        for i, f in enumerate(COMPONENT_FIELDS):
+            out = out.append_column(
+                f, pa.array([r[i] for r in rows], pa.string()))
         out = out.append_column(
-            "overall_confidence", pa.array(confs, pa.float64()))
+            "overall_confidence",
+            pa.array([r[-1] for r in rows], pa.float64()))
         return out
 
 
@@ -63,7 +82,10 @@ def _auto_concurrency(concurrency):
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    return max(2, cpus // 4)
+    # extraction is the dominant compute phase and runs between phase
+    # barriers: give it half the cluster, leaving room for the upstream
+    # read/normalize tasks feeding it
+    return max(2, cpus // 2)
 
 
 def extract_stage(ds, concurrency=None, batch_size: int = 1024,
@@ -87,21 +109,38 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
     """Exact-dedup-before-compute: extract once per distinct norm_text, then
     hash-join the component columns back onto every turn.
 
-    groupby().count() runs with partial pre-aggregation inside map tasks, so
-    the shuffle moves one row per distinct string, not per turn.
+    The shuffle key is ``text_h`` (uint64 content hash from the normalize
+    stage), not the text itself: the distinct-pass groupby sorts fixed-width
+    ints bucketed mod P (thousands of groups per map_groups call — see
+    pairs.py for the amortization rationale), and the join back to turns
+    moves an 8-byte key instead of full strings.
     """
+    import pyarrow as pa_
+
+    num_buckets = 1 << (max(64, num_partitions * 4) - 1).bit_length()
+
+    def _bucket(batch: pa_.Table) -> pa_.Table:
+        import pyarrow.compute as pc
+        mask = pa_.scalar(num_buckets - 1, pa_.uint64())
+        return batch.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(batch["text_h"], mask),
+                              pa_.int32()))
+
+    def _distinct(df):
+        return df.drop_duplicates("text_h")[["text_h", "norm_text"]]
+
     distinct = (
-        ds.select_columns(["norm_text"])      # prune: only the key crosses
-        .groupby("norm_text")
-        .count()
-        .drop_columns(["count()"])
+        ds.select_columns(["text_h", "norm_text"])   # prune before shuffle
+        .map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_distinct, batch_format="pandas")
     )
     extracted = extract_stage(
         distinct, concurrency=concurrency, batch_size=batch_size,
-        thresholds=thresholds, stages=stages)
+        thresholds=thresholds, stages=stages).drop_columns(["norm_text"])
     return ds.join(
         extracted,
         join_type="inner",
         num_partitions=num_partitions,
-        on=("norm_text",),
+        on=("text_h",),
     )

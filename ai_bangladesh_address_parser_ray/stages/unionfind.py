@@ -114,50 +114,90 @@ def connected_components(edges, num_partitions: int = 32,
 
 
 def _broadcast_components(sym, max_rounds: int):
-    """Broadcast-label propagation (see connected_components docstring)."""
+    """Broadcast-label propagation (see connected_components docstring).
+
+    Works in integer index space: the node universe is collected once
+    (distributed per-block uniques, driver merge), the string edge list is
+    converted to (src_idx, dst_idx) int64 blocks in ONE pass (hash-based
+    pd.Index.get_indexer — string work never repeats per round), and each
+    round broadcasts only the int64 parent vector (8 bytes/node). Map
+    tasks emit per-block partial (src_idx, min dst_label_idx) pairs; the
+    driver folds them with np.minimum.at and fully path-compresses by
+    repeated parent = parent[parent] (pointer jumping, O(log diameter)
+    vectorized passes). Index rank preserves lexicographic node order, so
+    min-index == min node_id — the same deterministic cluster_id as the
+    hash-join strategy. Duplicate edges cost one int row each — no dedup
+    shuffle needed upstream."""
+    import numpy as np
     import pandas as pd
     import ray
 
-    # initial labels: every endpoint labels itself (driver dict, small side)
-    labels: dict = {}
-    for b in sym.select_columns(["src"]).iter_batches(batch_format="pyarrow"):
-        for nid in b["src"].to_pylist():
-            labels[nid] = nid
+    # 1. node universe: per-block partial uniques -> driver merge
+    def _uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(u, pa.string())})
 
+    chunks = [b["src"].to_numpy(zero_copy_only=False)
+              for b in sym.select_columns(["src"]).map_batches(
+                  _uniq, batch_format="pyarrow",
+                  zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string())}))
+    # hash-based unique (C) then sort the small distinct set — np.unique on
+    # millions of object strings is a python-compare sort
+    nodes = np.sort(pd.unique(np.concatenate(chunks)))
+    n = len(nodes)
+    parent = np.arange(n, dtype=np.int64)
+    index_ref = ray.put(pd.Index(nodes))
+
+    # 2. one-pass string -> index conversion of the edge blocks
+    def _to_idx(batch: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        si = idx.get_indexer(batch["src"].to_numpy(zero_copy_only=False))
+        di = idx.get_indexer(batch["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(si, pa.int64()),
+                         "di": pa.array(di, pa.int64())})
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    sym_idx = sym.map_batches(_to_idx, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .repartition(cpus).materialize()   # few fat int blocks:
+    # per-round wall = max block compute, not per-block dispatch overhead
+
+    # 3. iterate: broadcast parent, per-block partial mins, driver fold
     for _ in range(max_rounds):
-        ref = ray.put(labels)
+        parent_ref = ray.put(parent)
 
         def prop(batch: pa.Table) -> pa.Table:
-            lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            df = pd.DataFrame({"src": batch["src"].to_pylist(),
-                               "dst": batch["dst"].to_pylist()})
-            df["dlab"] = df["dst"].map(lab)
-            part = df.groupby("src", sort=False)["dlab"].min().reset_index()
-            return pa.table({"node_id": part["src"].astype(str),
-                             "label": part["dlab"].astype(str)})
+            par = ray.get(parent_ref)
+            src = batch["si"].to_numpy()
+            lab = par[batch["di"].to_numpy()]
+            uniq_src, inv = np.unique(src, return_inverse=True)
+            mins = np.full(len(uniq_src), n, dtype=np.int64)
+            np.minimum.at(mins, inv, lab)
+            return pa.table({"si": pa.array(uniq_src, pa.int64()),
+                             "lab": pa.array(mins, pa.int64())})
 
-        partials = sym.map_batches(prop, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-        changed = 0
-        for b in partials.iter_batches(batch_format="pyarrow"):
-            for nid, cand in zip(b["node_id"].to_pylist(),
-                                 b["label"].to_pylist()):
-                if cand < labels[nid]:
-                    labels[nid] = cand
-                    changed += 1
-        # full path compression: label(node) <- root label; O(nodes)
-        for nid in labels:
-            root = nid
-            while labels[root] != root:
-                root = labels[root]
-            while labels[nid] != root:
-                labels[nid], nid = root, labels[nid]
+        cand = parent.copy()
+        for b in sym_idx.map_batches(prop, batch_format="pyarrow",
+                                     zero_copy_batch=True).iter_batches(
+                                         batch_format="pyarrow"):
+            np.minimum.at(cand, b["si"].to_numpy(), b["lab"].to_numpy())
+        changed = int((cand < parent).sum())
+        parent = np.minimum(parent, cand)
+        # pointer jumping to full compression (vectorized)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
         if changed == 0:
             break
 
-    nodes = sorted(labels)
     tbl = pa.table({"node_id": pa.array(nodes, pa.string()),
-                    "cluster_id": pa.array([labels[n] for n in nodes],
-                                           pa.string())})
+                    "cluster_id": pa.array(nodes[parent], pa.string())})
     import ray.data as rd
     return rd.from_arrow(tbl)
