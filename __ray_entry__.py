@@ -239,6 +239,21 @@ def _q_corpus_stats(sf_dir):
     return corpus_statistics(_extracted(sf_dir))
 
 
+_SUGGEST_QUERIES = ["gulsh", "dhanmond", "mirp", "uttora", "banani",
+                    "mohammadpur", "agra", "hali"]
+
+
+def _q_suggest(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import suggest_topk
+    return suggest_topk(_SUGGEST_QUERIES, limit=5)
+
+
+def _q_compare_adjacent(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        compare_adjacent_stage)
+    return compare_adjacent_stage(_extracted(sf_dir))
+
+
 def _q_media_frames(sf_dir):
     media = F_mm.attach_fake_media(_read(sf_dir, "documents"))
     return F_mm.frame_sample_stage(media, n_frames=4, fake=True)
@@ -272,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_turns": _q_format_turns,
         "district_distribution": _q_district_distribution,
         "corpus_stats": _q_corpus_stats,
+        "suggest_areas_topk": _q_suggest,
+        "compare_adjacent_mentions": _q_compare_adjacent,
     }
 
 

@@ -78,6 +78,80 @@ def district_distribution(extracted, k: int = 10):
     return top_k_by_count(nonempty, "district", k=k)
 
 
+def suggest_topk(queries, limit: int = 5) -> pa.Table:
+    """A3 top-k suggestion (``address_utils.py:209-259``): substring boost +
+    SequenceMatcher over the gazetteer dim. The dim is tiny (dozens of
+    areas), so this is a driver-side scan by design — the distributed analog
+    (broadcast the dim, score inside map_batches) only pays when the query
+    stream itself is large, which the reference API (one query per call)
+    never is. Returns (query, rank, area, district, division, score)."""
+    from ..kernel.validate_format import suggest_areas
+    rows = {"query": [], "rank": [], "area": [], "district": [],
+            "division": [], "score": []}
+    for q in queries:
+        for rank, s in enumerate(suggest_areas(q, limit=limit), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["area"].append(s["area"])
+            rows["district"].append(s["district"])
+            rows["division"].append(s["division"])
+            rows["score"].append(float(s["score"]))
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "area": pa.array(rows["area"], pa.string()),
+        "district": pa.array(rows["district"], pa.string()),
+        "division": pa.array(rows["division"], pa.string()),
+        "score": pa.array(rows["score"], pa.float64()),
+    })
+
+
+def compare_adjacent_stage(extracted, num_partitions: int = 16):
+    """P1/P2 pairwise comparison (``address_utils.py:131-206`` via
+    ``extractor.py:425-452``) as a distributed stage: within each
+    conversation, compare each mention turn's extracted components to the
+    NEXT mention turn's (sorted by turn_idx). One groupby shuffle on
+    conv_id — conversations are naturally bounded (tens of turns), so no
+    skew handling needed; extraction is never repeated per pair (the
+    reference re-extracts both sides on every compare call).
+
+    Returns (conv_id, turn_a, turn_b, similarity, score, match)."""
+    from ..kernel.compare import compare_components
+
+    def _pairs(df):
+        import pandas as pd
+        df = df.sort_values("turn_idx")
+        comps = df[list(COMPONENT_FIELDS)].to_dict("records")
+        out = {"conv_id": [], "turn_a": [], "turn_b": [],
+               "similarity": [], "score": [], "match": []}
+        for i in range(len(df) - 1):
+            r = compare_components(comps[i], comps[i + 1])
+            out["conv_id"].append(df["conv_id"].iloc[i])
+            out["turn_a"].append(int(df["turn_idx"].iloc[i]))
+            out["turn_b"].append(int(df["turn_idx"].iloc[i + 1]))
+            out["similarity"].append(r["similarity"])
+            out["score"].append(r["score"])
+            out["match"].append(bool(r["match"]))
+        if out["conv_id"]:
+            return pd.DataFrame(out)
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype="object"),
+            "turn_a": pd.Series([], dtype="int64"),
+            "turn_b": pd.Series([], dtype="int64"),
+            "similarity": pd.Series([], dtype="float64"),
+            "score": pd.Series([], dtype="float64"),
+            "match": pd.Series([], dtype="bool"),
+        })
+
+    cols = ["conv_id", "turn_idx"] + list(COMPONENT_FIELDS)
+    mentions = extracted.select_columns(cols).map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.utf8_length(pc.fill_null(b["area"], "")), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return mentions.groupby("conv_id").map_groups(
+        _pairs, batch_format="pandas")
+
+
 def corpus_statistics(extracted):
     """A1 scalars: row count, mean completeness, mean confidence. Returns a
     1-row pyarrow table (aggregate runs distributed; driver sees scalars)."""

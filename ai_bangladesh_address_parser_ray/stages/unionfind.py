@@ -65,8 +65,19 @@ def connected_components(edges, num_partitions: int = 32,
                   {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     sym = fwd.union(rev).materialize()
 
-    if sym.count() <= 2 * broadcast_limit:
-        return _broadcast_components(sym, max_rounds)
+    # Strategy gate on the NODE count, not the edge count: the broadcast
+    # path's driver footprint is the label vector (nodes), and multi-edges
+    # from overlapping blocking keys inflate the edge table ~3x without
+    # adding a single node. Collecting the universe (per-block partial
+    # uniques -> driver merge) is one streaming pass over the edge blocks
+    # and is exactly the first step the broadcast path needs anyway, so
+    # the gate costs nothing when broadcast wins. Only when even the edge
+    # table is far beyond driver reach (> 32x limit rows) do we skip the
+    # count and go straight to the fully-distributed hash-join rounds.
+    if sym.count() <= 32 * broadcast_limit:
+        nodes = _collect_universe(sym)
+        if len(nodes) <= broadcast_limit:
+            return _broadcast_components(sym, max_rounds, nodes=nodes)
 
     # initial labels: every endpoint labels itself
     labels = (
@@ -113,7 +124,31 @@ def connected_components(edges, num_partitions: int = 32,
     return _rename(labels, {"label": "cluster_id"})
 
 
-def _broadcast_components(sym, max_rounds: int):
+def _collect_universe(sym):
+    """Distinct node ids of the symmetric edge table, sorted: per-block
+    partial uniques (numpy, inside map tasks) then a driver-side hash-based
+    merge — the shuffle-free analog of groupby().count() for a set that
+    must land on the driver anyway. Returns a sorted np.ndarray (possibly
+    empty)."""
+    import numpy as np
+    import pandas as pd
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(u, pa.string())})
+
+    chunks = [b["src"].to_numpy(zero_copy_only=False)
+              for b in sym.select_columns(["src"]).map_batches(
+                  _uniq, batch_format="pyarrow",
+                  zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.array([], dtype=object)
+    # hash-based unique (C) then sort the small distinct set — np.unique on
+    # millions of object strings is a python-compare sort
+    return np.sort(pd.unique(np.concatenate(chunks)))
+
+
+def _broadcast_components(sym, max_rounds: int, nodes=None):
     """Broadcast-label propagation (see connected_components docstring).
 
     Works in integer index space: the node universe is collected once
@@ -132,22 +167,12 @@ def _broadcast_components(sym, max_rounds: int):
     import pandas as pd
     import ray
 
-    # 1. node universe: per-block partial uniques -> driver merge
-    def _uniq(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
-        return pa.table({"src": pa.array(u, pa.string())})
-
-    chunks = [b["src"].to_numpy(zero_copy_only=False)
-              for b in sym.select_columns(["src"]).map_batches(
-                  _uniq, batch_format="pyarrow",
-                  zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
-    if not chunks:
+    if nodes is None:
+        nodes = _collect_universe(sym)
+    if len(nodes) == 0:
         return ray.data.from_arrow(pa.table({
             "node_id": pa.array([], pa.string()),
             "cluster_id": pa.array([], pa.string())}))
-    # hash-based unique (C) then sort the small distinct set — np.unique on
-    # millions of object strings is a python-compare sort
-    nodes = np.sort(pd.unique(np.concatenate(chunks)))
     n = len(nodes)
     parent = np.arange(n, dtype=np.int64)
     index_ref = ray.put(pd.Index(nodes))

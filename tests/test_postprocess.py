@@ -80,3 +80,53 @@ class TestStatistics:
         assert top[0]["area"] == "Gulshan"
         top2 = suggest_areas("mirp", limit=3)
         assert top2[0]["area"] == "Mirpur"
+
+
+class TestSuggestTopk:
+    def test_table_shape_and_ranks(self):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            suggest_topk)
+        t = suggest_topk(["gulsh", "mirp"], limit=5).to_pandas()
+        assert len(t) == 10
+        assert list(t.columns) == ["query", "rank", "area", "district",
+                                   "division", "score"]
+        g = t[t["query"] == "gulsh"].sort_values("rank")
+        assert g.iloc[0]["area"] == "Gulshan"
+        # scores non-increasing within a query
+        assert (g["score"].diff().dropna() <= 1e-9).all()
+
+
+class TestCompareAdjacent:
+    def test_pairs_match_kernel(self, extracted):
+        from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+        from ai_bangladesh_address_parser_ray.kernel.compare import (
+            compare_components)
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            compare_adjacent_stage)
+        got = compare_adjacent_stage(extracted).to_pandas()
+        assert len(got) > 0
+        assert set(got.columns) == {"conv_id", "turn_a", "turn_b",
+                                    "similarity", "score", "match"}
+        # oracle: recompute each pair from the extracted table
+        df = extracted.to_pandas()
+        df = df[df.area != ""].set_index(["conv_id", "turn_idx"])
+        for r in got.head(50).itertuples():
+            c1 = {f: df.loc[(r.conv_id, r.turn_a), f]
+                  for f in COMPONENT_FIELDS}
+            c2 = {f: df.loc[(r.conv_id, r.turn_b), f]
+                  for f in COMPONENT_FIELDS}
+            exp = compare_components(c1, c2)
+            assert abs(r.score - exp["score"]) < 1e-9
+            assert r.match == exp["match"]
+
+    def test_adjacency_is_consecutive_mentions(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            compare_adjacent_stage)
+        got = compare_adjacent_stage(extracted).to_pandas()
+        df = extracted.to_pandas()
+        mentions = df[df.area != ""]
+        n_pairs_expected = sum(
+            max(0, n - 1)
+            for n in mentions.groupby("conv_id").size())
+        assert len(got) == n_pairs_expected
+        assert (got.turn_a < got.turn_b).all()
