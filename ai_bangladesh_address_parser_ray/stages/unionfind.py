@@ -63,7 +63,12 @@ def connected_components(edges, num_partitions: int = 32,
                   {"u": "src", "v": "dst"}).select_columns(["src", "dst"])
     rev = _rename(edges.select_columns(["v", "u"]),
                   {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
+    import os as _os
+    import time as _time
+    _t = _time.time()
     sym = fwd.union(rev).materialize()
+    if _os.environ.get("GRAFT_UF_DEBUG"):
+        print(f"UF sym_materialize: {_time.time() - _t:.1f}s", flush=True)
 
     # Strategy gate on the NODE count, not the edge count: the broadcast
     # path's driver footprint is the label vector (nodes), and multi-edges
@@ -163,12 +168,24 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
     min-index == min node_id — the same deterministic cluster_id as the
     hash-join strategy. Duplicate edges cost one int row each — no dedup
     shuffle needed upstream."""
+    import os
+    import time
     import numpy as np
     import pandas as pd
     import ray
 
+    _dbg = os.environ.get("GRAFT_UF_DEBUG")
+    _t0 = time.time()
+
+    def _mark(tag):
+        nonlocal _t0
+        if _dbg:
+            print(f"UF {tag}: {time.time() - _t0:.1f}s", flush=True)
+        _t0 = time.time()
+
     if nodes is None:
         nodes = _collect_universe(sym)
+    _mark("universe")
     if len(nodes) == 0:
         return ray.data.from_arrow(pa.table({
             "node_id": pa.array([], pa.string()),
@@ -176,6 +193,7 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
     n = len(nodes)
     parent = np.arange(n, dtype=np.int64)
     index_ref = ray.put(pd.Index(nodes))
+    _mark("index_put")
 
     # 2. one-pass string -> index conversion of the edge blocks
     def _to_idx(batch: pa.Table) -> pa.Table:
@@ -191,9 +209,10 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
                               zero_copy_batch=True) \
                  .repartition(cpus).materialize()   # few fat int blocks:
     # per-round wall = max block compute, not per-block dispatch overhead
+    _mark("to_idx+repartition")
 
     # 3. iterate: broadcast parent, per-block partial mins, driver fold
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         parent_ref = ray.put(parent)
 
         def prop(batch: pa.Table) -> pa.Table:
@@ -219,6 +238,7 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
             if np.array_equal(nxt, parent):
                 break
             parent = nxt
+        _mark(f"round{_round} (changed={changed})")
         if changed == 0:
             break
 
