@@ -322,7 +322,8 @@ _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 _SHINGLES_CTE = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
+  FROM documents
 ), sh AS (
   SELECT doc_id,
     CASE WHEN len(tk) < 3 THEN
@@ -337,19 +338,29 @@ WITH toks AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # NULL text is coalesced to '' in every text-consuming oracle so the
+        # SQL side matches the Ray side's null-to-"" coercion exactly (a
+        # null row would otherwise propagate NULL through md5/length/regexp
+        # and diverge from the Ray result).
         "exact_dedup_docs": (
-            "SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id, "
-            "COUNT(*) AS n_dups FROM documents GROUP BY text"),
+            "SELECT md5(coalesce(text, '')) AS text_hash, "
+            "MIN(doc_id) AS rep_id, "
+            "COUNT(*) AS n_dups FROM documents GROUP BY coalesce(text, '')"),
         "token_counts_docs": (
             r"SELECT doc_id, "
-            r"len(regexp_extract_all(text, '\S+')) AS n_tokens, "
-            rf"len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens "
+            r"len(regexp_extract_all(coalesce(text, ''), '\S+'))"
+            r" AS n_tokens, "
+            rf"len(regexp_extract_all(coalesce(text, ''), '{_BPE_PAT}'))"
+            rf" AS n_bpe_tokens "
             r"FROM documents"),
         "quality_docs": (
-            r"WITH f AS (SELECT doc_id, length(text) AS n_chars, "
-            r"len(regexp_extract_all(text, '\S+')) AS n_toks, "
-            r"len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct, "
-            rf"len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop "
+            r"WITH f AS (SELECT doc_id, "
+            r"length(coalesce(text, '')) AS n_chars, "
+            r"len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_toks, "
+            r"len(regexp_extract_all(coalesce(text, ''), '[.,!?;:]'))"
+            r" AS n_punct, "
+            rf"len(regexp_extract_all(lower(coalesce(text, '')), "
+            rf"'{_STOP_PAT}')) AS n_stop "
             r"FROM documents), "
             r"r AS (SELECT doc_id, n_chars, n_toks, "
             r"CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS pr, "
@@ -377,13 +388,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"),
         "normalize_docs": (
-            f"SELECT doc_id, {_normalizer_sql('text')} AS norm_text "
-            f"FROM documents"),
+            "SELECT doc_id, "
+            + _normalizer_sql("coalesce(text, '')")
+            + " AS norm_text FROM documents"),
         "script_ratio_docs": (
             "SELECT doc_id, "
-            "len(regexp_extract_all(text, '[ঀ-৿]')) AS n_bangla, "
-            "CAST(len(regexp_extract_all(text, '[ঀ-৿]')) AS DOUBLE) "
-            "/ greatest(length(text), 1) AS bangla_ratio FROM documents"),
+            "len(regexp_extract_all(coalesce(text, ''), '[ঀ-৿]'))"
+            " AS n_bangla, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '[ঀ-৿]'))"
+            " AS DOUBLE) "
+            "/ greatest(length(coalesce(text, '')), 1) AS bangla_ratio"
+            " FROM documents"),
         "knn_cosine_topk": (
             f"WITH q AS (SELECT vec_id AS qid, "
             f"CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "

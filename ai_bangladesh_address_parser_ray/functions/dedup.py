@@ -121,56 +121,169 @@ def _minhash_bands_batch(batch: pa.Table, text_col, id_col, num_hashes,
     })
 
 
-def _banded_bucket_pairs_fn(id_col: str, est_threshold: float, cap: int):
+def _collapse_rows(arr2d: np.ndarray):
+    """Group identical rows of a 2-D uint64 array. Returns (uniq_first_idx,
+    inv, order, group_starts): ``uniq_first_idx[g]`` is the index of group
+    g's first member in the ORIGINAL order (members sorted by id upstream,
+    so first == min id), ``order``/``group_starts`` slice members per
+    group. Deterministic: groups ordered by first occurrence."""
+    m, h = arr2d.shape
+    void = np.ascontiguousarray(arr2d).view(
+        np.dtype((np.void, arr2d.dtype.itemsize * h))).ravel()
+    _, first_idx, inv = np.unique(void, return_index=True,
+                                  return_inverse=True)
+    # re-rank groups by first occurrence so group order is input order
+    rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
+    inv = rank[inv]
+    first_idx = np.sort(first_idx)
+    order = np.argsort(inv, kind="stable")
+    counts = np.bincount(inv, minlength=len(first_idx))
+    group_starts = np.concatenate([[0], np.cumsum(counts)])
+    return first_idx, inv, order, group_starts
+
+
+def _expand_pairs(ids, order, group_starts, gi, gj, w, within_groups,
+                  within_w, expand: str):
+    """Turn kept DISTINCT-FINGERPRINT pairs (gi, gj, weight w) plus
+    multiplicity>1 groups (``within_groups`` indices, weight ``within_w``)
+    into id-level pairs.
+
+    expand="all": every member cross pair + all within-group pairs — the
+    oracle-exact mode (output size equals the candidate set the all-pairs
+    oracle implies, so it is output-bound, never wasted work).
+    expand="star": group reps only + within-group star to the first member
+    — lossless for transitive dedup (connectivity preserved), linear
+    output; the 100-TB mode."""
+    a_out, b_out, w_out = [], [], []
+    members = lambda g: ids[order[group_starts[g]:group_starts[g + 1]]]
+    for k in range(len(gi)):
+        ma, mb = members(gi[k]), members(gj[k])
+        if expand == "all":
+            a = np.repeat(ma, len(mb))
+            b = np.tile(mb, len(ma))
+        else:
+            a = ma[:1]
+            b = mb[:1]
+        a_out.append(a)
+        b_out.append(b)
+        w_out.append(np.full(len(a), w[k]))
+    for k in range(len(within_groups)):
+        mg = members(within_groups[k])
+        if expand == "all":
+            iu, ju = np.triu_indices(len(mg), k=1)
+            a, b = mg[iu], mg[ju]
+        else:
+            a = np.repeat(mg[:1], len(mg) - 1)
+            b = mg[1:]
+        a_out.append(a)
+        b_out.append(b)
+        w_out.append(np.full(len(a), within_w))
+    if not a_out:
+        return (np.array([]), np.array([]), np.array([]))
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    w = np.concatenate(w_out)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return lo, hi, w
+
+
+def _banded_bucket_pairs_fn(id_col: str, est_threshold: float, cap: int,
+                            window: int, expand: str):
     """Process ALL band groups of one hash bucket in a single call — the
-    per-group work is a vectorized (g x g) signature comparison, and the
-    call overhead amortizes over thousands of (mostly tiny) buckets."""
+    per-group work is a vectorized signature comparison, and the call
+    overhead amortizes over thousands of (mostly tiny) buckets.
+
+    Skew handling (no silent truncation): identical signatures are
+    COLLAPSED first, so mass duplication (the 100-TB hot-band case) never
+    consumes cap slots — those pairs are emitted exactly (est 1.0) or as
+    a star, per ``expand``. The cap applies to DISTINCT signatures only;
+    a band with more than ``cap`` distinct signatures falls back to a
+    sorted-neighborhood ``window`` over the signature reps and marks every
+    emitted pair ``oversized=1`` — observable, never silent."""
     import pandas as pd
+
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": [],
+                          "oversized": pd.Series([], dtype="int32")})
 
     def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
         df = (df.drop_duplicates(["band_key", id_col])
                 .sort_values(["band_key", id_col], kind="mergesort")
                 .reset_index(drop=True))
         if len(df) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []})
+            return empty
         keys = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy()
         sigs = np.vstack([np.asarray(s, dtype=np.uint64)
                           for s in df[_SIG_COL]])
         change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(df)]])
-        a_out, b_out, est_out = [], [], []
+        ends = np.concatenate([change, [len(keys)]])
+        a_all, b_all, e_all, o_all = [], [], [], []
         for s, e in zip(starts, ends):
-            g = min(e - s, cap)   # capped: bounds the quadratic worst case
-            if g < 2:
+            if e - s < 2:
                 continue
-            gs = sigs[s:s + g]                       # (g, H) uint64
-            est = (gs[:, None, :] == gs[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(g, k=1)
-            keepm = est[iu, ju] >= est_threshold
-            a_out.append(ids[s + iu[keepm]])
-            b_out.append(ids[s + ju[keepm]])
-            est_out.append(np.round(est[iu, ju][keepm], 6))
-        if not a_out:
-            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []})
+            gids = ids[s:e]
+            first_idx, inv, order, gstarts = _collapse_rows(sigs[s:e])
+            d = len(first_idx)
+            rep_sigs = sigs[s:e][first_idx]           # (d, H)
+            counts = np.diff(gstarts)
+            within = np.nonzero(counts > 1)[0]
+            over = d > cap
+            if not over:
+                est = (rep_sigs[:, None, :]
+                       == rep_sigs[None, :, :]).mean(axis=2)
+                iu, ju = np.triu_indices(d, k=1)
+                keepm = est[iu, ju] >= est_threshold
+                gi, gj, w = iu[keepm], ju[keepm], \
+                    np.round(est[iu, ju][keepm], 6)
+            else:
+                # sorted-neighborhood window over the signature reps
+                wl, wr = [], []
+                for a in range(d - 1):
+                    hi = min(a + 1 + window, d)
+                    wl.extend([a] * (hi - a - 1))
+                    wr.extend(range(a + 1, hi))
+                gi = np.asarray(wl, dtype=np.int64)
+                gj = np.asarray(wr, dtype=np.int64)
+                est = (rep_sigs[gi] == rep_sigs[gj]).mean(axis=1)
+                keepm = est >= est_threshold
+                gi, gj, w = gi[keepm], gj[keepm], np.round(est[keepm], 6)
+            a, b, wv = _expand_pairs(gids, order, gstarts, gi, gj, w,
+                                     within, 1.0, expand)
+            if len(a):
+                a_all.append(a)
+                b_all.append(b)
+                e_all.append(wv)
+                o_all.append(np.full(len(a), int(over), dtype=np.int32))
+        if not a_all:
+            return empty
         return pd.DataFrame({
-            "a_id": np.concatenate(a_out),
-            "b_id": np.concatenate(b_out),
-            "est_jaccard": np.concatenate(est_out),
+            "a_id": np.concatenate(a_all),
+            "b_id": np.concatenate(b_all),
+            "est_jaccard": np.concatenate(e_all),
+            "oversized": np.concatenate(o_all),
         })
     return _pairs
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
-                      est_threshold: float = 0.5, cap: int = 512):
+                      est_threshold: float = 0.5, cap: int = 512,
+                      window: int = 16, expand: str = "all"):
     """Candidate near-dup pairs: shingle -> MinHash -> band -> groupby bucket
     -> in-bucket signature-estimated Jaccard -> cross-band pair dedup.
 
     bands=16 x rows=4 over 64 hashes: P[share band] = 1-(1-J^4)^16, ~0.97 at
     J=0.5. The final groupby on (a_id, b_id) dedups pairs found in several
     bands AND rebalances downstream scoring.
+
+    ``cap`` bounds the quadratic worst case over DISTINCT signatures per
+    band (identical signatures collapse first, so mass duplication never
+    truncates — see ``_banded_bucket_pairs_fn``); over-cap bands degrade to
+    a sorted-neighborhood ``window`` and mark their pairs ``oversized=1``.
+    ``expand="star"`` switches member expansion to linear star pairs
+    (connectivity-lossless) for corpus-scale transitive dedup.
     """
     banded = ds.map_batches(
         _minhash_bands_batch,
@@ -181,12 +294,14 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         _add_hash_bucket("band_key", 64),
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = bucketed.groupby("bucket").map_groups(
-        _banded_bucket_pairs_fn(id_col, est_threshold, cap),
+        _banded_bucket_pairs_fn(id_col, est_threshold, cap, window, expand),
         batch_format="pandas")
-    # cross-band dedup: keep max estimate per pair
+    # cross-band dedup: keep max estimate per pair; `oversized` survives as
+    # max so a pair seen only via an over-cap band stays flagged
     from ray.data.aggregate import Max
     return pairs.groupby(["a_id", "b_id"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+        Max("est_jaccard", alias_name="est_jaccard"),
+        Max("oversized", alias_name="oversized"))
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -227,12 +342,19 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ------------------------------------------------------------- SimHash ----
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bands: int = 4, cap: int = 1024):
+                  max_hamming: int = 3, bands: int = 4, cap: int = 1024,
+                  window: int = 16, expand: str = "all"):
     """Near-dup pairs with Hamming(simhash64) <= max_hamming.
 
     Band blocking is lossless for max_hamming < bands (pigeonhole): any such
     pair collides on at least one exact 16-bit band, so the groupby only
     ever compares candidates, never the cross product.
+
+    Skew handling mirrors :func:`minhash_lsh_pairs`: identical fingerprints
+    collapse before the quadratic compare (mass duplication never
+    truncates), ``cap`` applies to DISTINCT fingerprints per band, and
+    over-cap bands degrade to a sorted-neighborhood ``window`` with
+    ``oversized=1`` marked on every emitted pair.
     """
     def _fp(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -252,38 +374,65 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     import pandas as pd
 
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "hamming": [],
+                          "oversized": pd.Series([], dtype="int32")})
+
+    def _hamvec(x: np.ndarray) -> np.ndarray:
+        # vectorized popcount over uint64 via byte view
+        return np.unpackbits(
+            x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
     def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
         df = (df.drop_duplicates(["band_key", id_col])
                 .sort_values(["band_key", id_col], kind="mergesort")
                 .reset_index(drop=True))
         if len(df) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
+            return empty
         keys = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy()
         fps = df["_fp"].to_numpy().astype(np.uint64)
         change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(df)]])
-        a_out, b_out, h_out = [], [], []
+        ends = np.concatenate([change, [len(keys)]])
+        a_all, b_all, h_all, o_all = [], [], [], []
         for s, e in zip(starts, ends):
-            g = min(e - s, cap)
-            if g < 2:
+            if e - s < 2:
                 continue
-            gf = fps[s:s + g]
-            iu, ju = np.triu_indices(g, k=1)
-            x = gf[iu] ^ gf[ju]
-            # vectorized popcount over uint64 via byte view
-            ham = np.unpackbits(
-                x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            gids = ids[s:e]
+            first_idx, inv, order, gstarts = _collapse_rows(
+                fps[s:e].reshape(-1, 1))
+            d = len(first_idx)
+            rep_fps = fps[s:e][first_idx]
+            counts = np.diff(gstarts)
+            within = np.nonzero(counts > 1)[0]
+            over = d > cap
+            if not over:
+                iu, ju = np.triu_indices(d, k=1)
+            else:
+                wl, wr = [], []
+                for a in range(d - 1):
+                    hi = min(a + 1 + window, d)
+                    wl.extend([a] * (hi - a - 1))
+                    wr.extend(range(a + 1, hi))
+                iu = np.asarray(wl, dtype=np.int64)
+                ju = np.asarray(wr, dtype=np.int64)
+            ham = _hamvec(rep_fps[iu] ^ rep_fps[ju]) if len(iu) else \
+                np.array([], dtype=np.int64)
             keep = ham <= max_hamming
-            a_out.append(ids[s + iu[keep]])
-            b_out.append(ids[s + ju[keep]])
-            h_out.append(ham[keep].astype(np.int64))
-        if not a_out:
-            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
-        return pd.DataFrame({"a_id": np.concatenate(a_out),
-                             "b_id": np.concatenate(b_out),
-                             "hamming": np.concatenate(h_out)})
+            gi, gj, w = iu[keep], ju[keep], ham[keep].astype(np.float64)
+            a, b, wv = _expand_pairs(gids, order, gstarts, gi, gj, w,
+                                     within, 0.0, expand)
+            if len(a):
+                a_all.append(a)
+                b_all.append(b)
+                h_all.append(wv.astype(np.int64))
+                o_all.append(np.full(len(a), int(over), dtype=np.int32))
+        if not a_all:
+            return empty
+        return pd.DataFrame({"a_id": np.concatenate(a_all),
+                             "b_id": np.concatenate(b_all),
+                             "hamming": np.concatenate(h_all),
+                             "oversized": np.concatenate(o_all)})
 
     banded = ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
     bucketed = banded.map_batches(
@@ -291,8 +440,10 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = bucketed.groupby("bucket").map_groups(_pairs,
                                                   batch_format="pandas")
+    from ray.data.aggregate import Max
     return pairs.groupby(["a_id", "b_id"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+        Min("hamming", alias_name="hamming"),
+        Max("oversized", alias_name="oversized"))
 
 
 # ---------------------------------------------------- embedding cosine ----
@@ -333,9 +484,32 @@ def _cosine_pairs_batch(batch: pa.Table, matrix_ref, ids_ref,
 def embedding_cosine_pairs(ds, tau: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           batch_size: int = 512):
-    """Near-dup pairs by embedding cosine >= tau (a_id < b_id)."""
+                           batch_size: int = 512,
+                           broadcast_limit: int = 200_000,
+                           lsh_bands: int = 16, lsh_rows: int = 8,
+                           lsh_cap: int = 4096):
+    """Near-dup pairs by embedding cosine >= tau (a_id < b_id).
+
+    Two physical strategies gated on the row count:
+
+    - **broadcast** (N <= broadcast_limit): the (id, vec) table is
+      materialized once and ``ray.put`` as the small side; every batch does
+      a (batch x N) matmul. Exact, O(N^2) compute — the correctness
+      baseline for modest N.
+    - **banded sign-LSH** (N > broadcast_limit): random-hyperplane
+      signatures split into ``lsh_bands`` bands of ``lsh_rows`` planes;
+      vectors sharing a band bucket are compared exactly within the
+      (crc32-bucketed, capped) group and pairs dedup across bands. Never
+      materializes the table; recall is 1-(1-p^r)^B with
+      p = 1 - theta/pi — ~1.0 for near-duplicate cosines (>=0.9), by
+      design of a *near-dup* detector. Over-cap buckets mark their pairs
+      ``oversized=1``.
+    """
     tbl = ds.select_columns([id_col, vec_col])
+    if tbl.count() > broadcast_limit:
+        return _embedding_pairs_lsh(tbl, tau, id_col, vec_col,
+                                    bands=lsh_bands, rows=lsh_rows,
+                                    cap=lsh_cap)
     # small-side broadcast: one driver-side materialize of (id, vec) only
     full = tbl.to_pandas()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
@@ -345,3 +519,90 @@ def embedding_cosine_pairs(ds, tau: float = 0.95,
         _cosine_pairs_batch,
         fn_kwargs=dict(matrix_ref=matrix_ref, ids_ref=ids_ref, tau=tau),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def _embedding_pairs_lsh(tbl, tau: float, id_col: str, vec_col: str,
+                         bands: int, rows: int, cap: int):
+    """Scale path: banded random-hyperplane LSH -> bucket groupby -> exact
+    in-bucket cosine -> cross-band pair dedup. Streaming end to end."""
+    from .similarity import _plane_matrix
+
+    n_planes = bands * rows
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                           for v in batch[vec_col].to_pylist()])
+        ids = np.asarray(batch[id_col].to_pylist())
+        planes = _plane_matrix(vecs.shape[1], n_planes)
+        signs = (vecs @ planes.T) > 0                  # (n, n_planes)
+        out_key, out_idx = [], []
+        weights = (1 << np.arange(rows, dtype=np.uint64))
+        for b in range(bands):
+            band_bits = signs[:, b * rows:(b + 1) * rows]
+            vals = band_bits.astype(np.uint64) @ weights
+            for i, v in enumerate(vals):
+                out_key.append("eb:%d:%04x" % (b, int(v)))
+                out_idx.append(i)
+        idx = pa.array(out_idx, pa.int64())
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            id_col: pa.array(ids[np.asarray(out_idx)]),
+            vec_col: batch[vec_col].take(idx)
+            if isinstance(batch[vec_col], pa.ChunkedArray)
+            else pa.chunked_array([batch[vec_col]]).take(idx),
+        })
+
+    import pandas as pd
+
+    empty = pd.DataFrame({"a_id": [], "b_id": [],
+                          "oversized": pd.Series([], dtype="int32")})
+
+    def _bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = (df.drop_duplicates(["band_key", id_col])
+                .sort_values(["band_key", id_col], kind="mergesort")
+                .reset_index(drop=True))
+        if len(df) < 2:
+            return empty
+        keys = df["band_key"].to_numpy()
+        ids = df[id_col].to_numpy()
+        vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(keys)]])
+        a_all, b_all, o_all = [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            over = g > cap
+            g = min(g, cap)
+            gv = vecs[s:s + g]
+            sims = gv @ gv.T
+            iu, ju = np.triu_indices(g, k=1)
+            keep = sims[iu, ju] >= tau
+            if keep.any():
+                a_all.append(ids[s + iu[keep]])
+                b_all.append(ids[s + ju[keep]])
+                o_all.append(np.full(int(keep.sum()), int(over),
+                                     dtype=np.int32))
+        if not a_all:
+            return empty
+        return pd.DataFrame({"a_id": np.concatenate(a_all),
+                             "b_id": np.concatenate(b_all),
+                             "oversized": np.concatenate(o_all)})
+
+    banded = tbl.map_batches(_band_rows, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=1024)
+    bucketed = banded.map_batches(
+        _add_hash_bucket("band_key", 64),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bucketed.groupby("bucket").map_groups(_bucket_pairs,
+                                                  batch_format="pandas")
+    from ray.data.aggregate import Max
+    out = pairs.groupby(["a_id", "b_id"]).aggregate(
+        Max("oversized", alias_name="oversized"))
+    return out.drop_columns(["oversized"])

@@ -52,8 +52,11 @@ def _partial_topk_batch(batch: pa.Table, q_ref, qids_ref, k: int,
     k = min(k, sims.shape[1])
     qcol, ncol, scol = [], [], []
     for qi in range(sims.shape[0]):
-        # local top-k: argpartition then exact ordering inside the slice
-        idx = np.argpartition(-sims[qi], k - 1)[:k]
+        # local top-k with a DETERMINISTIC order: score desc, then
+        # neighbor_id asc — ties at the k boundary (exact-duplicate
+        # embeddings) must keep the lowest neighbor_id or the driver merge
+        # can drop the row the oracle ranks, batch-partition-dependently
+        idx = np.lexsort((nids, -sims[qi]))[:k]
         for j in idx:
             qcol.append(int(qids[qi]))
             ncol.append(int(nids[j]))

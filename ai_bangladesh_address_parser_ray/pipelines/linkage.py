@@ -12,8 +12,11 @@
 
 Every wide step is keyed (norm_text / block_key / pair_key / node_id) and
 each expensive phase is checkpointable via CheckpointManager. Nothing here
-materializes the turn table on the driver; the only materialized datasets
-are the label table (O(mentions)) inside union-find.
+materializes the turn table on the driver OR in the object store: the one
+turn-scale intermediate (the extracted table, consumed by two branches)
+always goes to partitioned Parquet — the checkpoint dir when configured,
+else a run-scoped spill dir — and streams back from disk. Object-store pins
+are mention-scale only (pairs / edges / labels).
 """
 
 from __future__ import annotations
@@ -78,10 +81,21 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     tool, ts) schema. Returns {"turns": Dataset with cluster_id per turn,
     "edges": Dataset, "metrics": dict}.
     """
+    import time as _time
+
     cfg_fp = fingerprint(asdict(cfg), input_token)  # pre-resolve: stable
     cfg = cfg.resolved()
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     metrics: dict = {}
+    _t0 = _time.perf_counter()
+
+    def _phase_done(name: str, rows=None):
+        nonlocal _t0
+        now = _time.perf_counter()
+        metrics[name] = {"wall_s": round(now - _t0, 3)}
+        if rows is not None:
+            metrics[name]["rows_out"] = int(rows)
+        _t0 = now
 
     # ---- phase 1: normalize + extract.
     # dedup_exact="shuffle": global distinct on text_h + extract-once +
@@ -104,13 +118,26 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
             batch_size=cfg.extract_batch_size,
             thresholds=cfg.thresholds, stages=cfg.stages)
 
-    # the extraction table is consumed by TWO branches (pair generation and
-    # the final cluster join-back); pin it once so the lineage doesn't
-    # execute twice. checkpoint_dir pins via partitioned Parquet (the
-    # 10^12-turn path); otherwise materialize into the object store (spills
-    # under pressure) — never recompute.
-    extracted = (ckpt.run("01_extracted", cfg_fp, compute_extracted)
-                 if cfg.checkpoint_dir else compute_extracted().materialize())
+    # The extraction table is consumed by TWO branches (pair generation and
+    # the final cluster join-back); pin it ONCE so the lineage doesn't
+    # execute twice — but never in the object store: this is the only
+    # TURN-SCALE intermediate, so it goes to partitioned Parquet (the
+    # explicit checkpoint_dir when given, else a run-scoped spill dir) and
+    # both consumers stream it back from disk. The object store then only
+    # ever pins mention-scale tables (blocked keys / pairs / edges /
+    # labels), which is what makes the 10^12-turn design point feasible.
+    if cfg.checkpoint_dir:
+        extracted = ckpt.run("01_extracted", cfg_fp, compute_extracted)
+        m = ckpt.manifest("01_extracted")
+        _phase_done("extract", m.get("rows") if m else None)
+    else:
+        import tempfile
+        spill_dir = tempfile.mkdtemp(prefix="abap_extract_spill_")
+        compute_extracted().write_parquet(spill_dir)
+        import pyarrow.dataset as _pads
+        n_extracted = _pads.dataset(spill_dir).count_rows()  # metadata only
+        extracted = __import__("ray").data.read_parquet(spill_dir)
+        _phase_done("extract", n_extracted)
 
     # ---- phase 2: blocking + candidate pairs (SHUFFLE 2)
     # Each phase below is pinned (parquet checkpoint or object-store
@@ -128,6 +155,7 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
 
     pairs = (ckpt.run("02_pairs", cfg_fp, compute_pairs)
              if cfg.checkpoint_dir else compute_pairs().materialize())
+    _phase_done("pairs", pairs.count())
 
     # ---- phase 3: scoring -> edges (deduped: a pair generated by several
     # blocking keys is scored per key — cheap, vectorized — then collapsed
@@ -145,8 +173,12 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     # union-find: pin it so rounds never re-run extraction/scoring
     edges = (ckpt.run("03_edges", cfg_fp, compute_edges)
              if cfg.checkpoint_dir else compute_edges().materialize())
+    _phase_done("edges", edges.count())
 
     # ---- phase 4: transitive closure (SHUFFLE 3..k)
+    from ..stages.unionfind import LAST_RUN_INFO as _uf_info
+    _uf_info.clear()   # so a checkpoint-restored phase records no stale info
+
     def compute_clusters():
         return connected_components(
             edges, num_partitions=cfg.num_partitions,
@@ -154,14 +186,20 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
 
     clusters = (ckpt.run("04_clusters", cfg_fp, compute_clusters)
                 if cfg.checkpoint_dir else compute_clusters())
+    _phase_done("unionfind", None)
+    metrics["unionfind"].update(_uf_info)
 
     # ---- phase 5: label every turn; nodes outside any edge are singletons.
-    # Join on the uint64 node hash (carried since normalize) — an 8-byte
-    # shuffle key instead of the long node_id string.
+    # Join on the 128-bit node hash (carried since normalize) — a 16-byte
+    # shuffle key instead of the long node_id string, collision-safe at the
+    # 10^12-turn design point.
     def _add_node_h(batch: pa.Table) -> pa.Table:
-        from ..stages.normalize import _hash64
-        return batch.append_column(
-            "node_h", _hash64(batch["node_id"].to_pylist()))
+        from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
+        return (batch
+                .append_column("node_h",
+                               _hash64(batch["node_id"], HASH_SEED_LO))
+                .append_column("node_h2",
+                               _hash64(batch["node_id"], HASH_SEED_HI)))
 
     clusters_h = clusters.map_batches(
         _add_node_h, batch_format="pyarrow", zero_copy_batch=True
@@ -169,7 +207,7 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
 
     turns = extracted.join(
         clusters_h, join_type="left_outer",
-        num_partitions=cfg.num_partitions, on=("node_h",),
+        num_partitions=cfg.num_partitions, on=("node_h", "node_h2"),
     ).map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("cluster_id"), "cluster_id",
@@ -177,5 +215,9 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
         batch_format="pyarrow",
     )
 
+    # the join-back is lazy (streams when the caller consumes `turns`), so
+    # its wall time belongs to the consumer; record the plan boundary only
+    metrics["join_back"] = {"lazy": True,
+                            "num_partitions": cfg.num_partitions}
     return {"turns": turns, "edges": edges, "clusters": clusters,
             "metrics": metrics}

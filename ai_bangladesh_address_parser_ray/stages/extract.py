@@ -109,11 +109,13 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
     """Exact-dedup-before-compute: extract once per distinct norm_text, then
     hash-join the component columns back onto every turn.
 
-    The shuffle key is ``text_h`` (uint64 content hash from the normalize
-    stage), not the text itself: the distinct-pass groupby sorts fixed-width
-    ints bucketed mod P (thousands of groups per map_groups call — see
-    pairs.py for the amortization rationale), and the join back to turns
-    moves an 8-byte key instead of full strings.
+    The shuffle key is ``(text_h, text_h2)`` (128-bit content hash from the
+    normalize stage), not the text itself: the distinct-pass groupby sorts
+    fixed-width ints bucketed mod P (thousands of groups per map_groups call
+    — see pairs.py for the amortization rationale), and the join back to
+    turns moves a 16-byte key instead of full strings. The paired key makes
+    a silent hash collision (wrong components attached to a turn)
+    impossible in practice at the 10^12-turn design point.
     """
     import pyarrow as pa_
 
@@ -127,10 +129,11 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
                               pa_.int32()))
 
     def _distinct(df):
-        return df.drop_duplicates("text_h")[["text_h", "norm_text"]]
+        return df.drop_duplicates("text_h")[["text_h", "text_h2",
+                                             "norm_text"]]
 
     distinct = (
-        ds.select_columns(["text_h", "norm_text"])   # prune before shuffle
+        ds.select_columns(["text_h", "text_h2", "norm_text"])  # prune first
         .map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(_distinct, batch_format="pandas")
@@ -142,5 +145,5 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
         extracted,
         join_type="inner",
         num_partitions=num_partitions,
-        on=("text_h",),
+        on=("text_h", "text_h2"),
     )

@@ -2,7 +2,8 @@
 
 map_batches over ``batch_format="pyarrow"`` with ``zero_copy_batch=True`` —
 the whole batch transform is a chain of pyarrow.compute kernels
-(``kernel.normalizer.normalize_array``), no Python per row. At 10^12 turns
+(``kernel.normalizer.normalize_array``) plus a vectorized string hash
+(polars/xxhash over the Arrow buffers), no Python per row. At 10^12 turns
 this stage is pure streaming compute: no shuffle, no state, no
 materialization.
 """
@@ -14,18 +15,26 @@ import pyarrow.compute as pc
 
 from ..kernel.normalizer import normalize_array
 
+# Join keys are 128-bit (two uint64 columns hashed with independent seeds):
+# a single 64-bit key is collision-safe only to ~10^8 distinct values, and a
+# silent collision would attach the wrong extraction/cluster to a turn. At
+# the 10^12-turn design point the paired key keeps P[any collision] < 1e-13.
+HASH_SEED_LO = 0
+HASH_SEED_HI = 1
 
-def _hash64(values) -> pa.Array:
-    """Stable 64-bit content hash (blake2b/8) — the *shuffle key* stand-in
-    for long strings: joins/groupbys on fixed-width uint64 move and compare
-    far less than variable-length text. 64 bits is collision-safe to ~10^8
-    distinct values; at the 10^12-turn design point widen to 128-bit
-    (digest_size=16, two uint64 columns) — same code shape."""
-    import hashlib
-    return pa.array(
-        [int.from_bytes(hashlib.blake2b(v.encode("utf-8"),
-                                        digest_size=8).digest(), "big")
-         for v in values], pa.uint64())
+
+def _hash64(values, seed: int = HASH_SEED_LO) -> pa.Array:
+    """Vectorized 64-bit content hash of a string array (polars/xxhash over
+    the Arrow buffers — C speed, no Python per row). Deterministic for a
+    given seed within an environment; used only as intra-run shuffle/join
+    keys, never persisted as a contract."""
+    import polars as pl
+    if isinstance(values, list):                      # test/tool convenience
+        values = pa.array(values, pa.string())
+    out = pl.from_arrow(values).hash(seed=seed).to_arrow()
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out.cast(pa.uint64())
 
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:
@@ -38,8 +47,10 @@ def _normalize_batch(batch: pa.Table) -> pa.Table:
     return (batch
             .append_column("norm_text", norm)
             .append_column("node_id", node)
-            .append_column("text_h", _hash64(norm.to_pylist()))
-            .append_column("node_h", _hash64(node.to_pylist())))
+            .append_column("text_h", _hash64(norm, HASH_SEED_LO))
+            .append_column("text_h2", _hash64(norm, HASH_SEED_HI))
+            .append_column("node_h", _hash64(node, HASH_SEED_LO))
+            .append_column("node_h2", _hash64(node, HASH_SEED_HI)))
 
 
 def normalize_stage(ds, batch_size: int = 4096):

@@ -13,8 +13,10 @@ per block, so a group-size *cap* bounds the worst case. Blocks with
 generation — identical extractions star-connect to their group head
 (O(n) pairs, union-find diameter 2), and one representative per distinct
 extraction slides a sorted-neighborhood window over the other
-representatives to catch fuzzy variants. Oversized blocks are counted in
-the ``n_oversized`` column of the per-bucket stats (no silent truncation).
+representatives to catch fuzzy variants. Every pair emitted from an
+oversized block carries ``oversized=1`` in the output, so skew is
+observable downstream (``SELECT sum(oversized)`` on the pair table) —
+no silent truncation.
 
 A pair reached via several keys (ad/pc/sx/mh overlap heavily) is scored
 once per key (vectorized, cheap) and deduped post-score on the 3-column
@@ -33,7 +35,7 @@ from .. import COMPONENT_FIELDS
 
 _L = ["l_" + f for f in COMPONENT_FIELDS]
 _R = ["r_" + f for f in COMPONENT_FIELDS]
-PAIR_COLUMNS = ["pair_key", "u", "v"] + _L + _R
+PAIR_COLUMNS = ["pair_key", "u", "v"] + _L + _R + ["oversized"]
 
 
 def _group_pair_indices(n: int, offset: int, cap: int, window: int,
@@ -89,16 +91,18 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(bk)]])
 
-    li_all, ri_all = [], []
+    li_all, ri_all, ov_all = [], [], []
     for s, e in zip(starts, ends):
         res = _group_pair_indices(e - s, s, cap, window, ext[s:e])
         if res is not None:
             li_all.append(res[0])
             ri_all.append(res[1])
+            ov_all.append(np.full(len(res[0]), int(res[2]), dtype=np.int32))
     if not li_all:
         return pd.DataFrame(columns=PAIR_COLUMNS)
     li = np.concatenate(li_all)
     ri = np.concatenate(ri_all)
+    ov = np.concatenate(ov_all)
 
     u = node[li]
     v = node[ri]
@@ -114,6 +118,7 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
         rv = comp[f][ri]
         out["l_" + f] = np.where(swap, rv, lv)
         out["r_" + f] = np.where(swap, lv, rv)
+    out["oversized"] = ov
     return pd.DataFrame(out)
 
 

@@ -2,8 +2,7 @@
 
 Iterative hash-partitioned min-label propagation over the match-edge table
 (SURVEY.md P4): every node starts labeled with itself; each round every node
-adopts ``min(own label, min(neighbor labels))`` via a hash join
-(edges x labels) + ``groupby(node).min(label)``; fixed point when no label
+adopts ``min(own label, min(neighbor labels))``; fixed point when no label
 changes. Monotone (labels only decrease), so replays/retries converge to the
 identical partition — the determinism the resume test relies on.
 
@@ -31,6 +30,10 @@ def _rename(ds, mapping: dict):
 
 BROADCAST_LABEL_LIMIT = 2_000_000
 
+# diagnostics of the last connected_components call (rounds used,
+# convergence); read by run_linkage to populate pipeline metrics
+LAST_RUN_INFO: dict = {}
+
 
 def connected_components(edges, num_partitions: int = 32,
                          max_rounds: int = 16,
@@ -43,17 +46,23 @@ def connected_components(edges, num_partitions: int = 32,
 
     Two physical strategies, same semantics:
 
-    - **broadcast** (label table fits the driver, <= broadcast_limit nodes):
-      per round, the label map is ``ray.put`` once and every edge block
-      computes per-src partial min-neighbor-labels in a map task (no
-      shuffle); the driver folds the tiny partials and fully
-      path-compresses the label forest between rounds, so convergence is
-      O(log diameter) rounds. Edge blocks stream — only labels live on the
-      driver. Blocking keeps components (and thus the label table per
-      connected subgraph) small; 2M labels ~ 100 MB.
-    - **hash-join** (label table too big to broadcast): classic iterative
+    - **broadcast** (label table fits one worker's heap, <= broadcast_limit
+      nodes): per round, the int64 parent vector is ``ray.put`` once and
+      every edge block computes a dense per-block min-neighbor-label vector
+      in a map task (no shuffle); the partials are folded by a TREE of Ray
+      tasks (arity 8) so the driver only ever sees the single reduced
+      vector, then fully path-compresses the label forest between rounds
+      (pointer jumping), so convergence is O(log diameter) rounds. Edge
+      blocks stream — only the 8-byte/node parent vector lives on the
+      driver.
+    - **hash-join** (label table too big to broadcast): iterative
       hash-partitioned min-label propagation — edges x labels join,
-      groupby(src).min(label), left join back, repeat to fixed point.
+      groupby(src).min(label), left join back — plus a pointer-jumping
+      compression join per round (labels join labels on label==node), so
+      reachable-hop distance DOUBLES per round: max_rounds=16 covers
+      diameter 2^16, and long sorted-neighborhood chains cannot exhaust
+      the round budget. If the budget is somehow exhausted unconverged we
+      raise rather than silently return split components.
 
     Both are monotone (labels only decrease), so retries/replays converge
     to the identical partition.
@@ -71,19 +80,28 @@ def connected_components(edges, num_partitions: int = 32,
         print(f"UF sym_materialize: {_time.time() - _t:.1f}s", flush=True)
 
     # Strategy gate on the NODE count, not the edge count: the broadcast
-    # path's driver footprint is the label vector (nodes), and multi-edges
-    # from overlapping blocking keys inflate the edge table ~3x without
-    # adding a single node. Collecting the universe (per-block partial
-    # uniques -> driver merge) is one streaming pass over the edge blocks
-    # and is exactly the first step the broadcast path needs anyway, so
-    # the gate costs nothing when broadcast wins. Only when even the edge
-    # table is far beyond driver reach (> 32x limit rows) do we skip the
-    # count and go straight to the fully-distributed hash-join rounds.
+    # path's footprint is the label vector (nodes), and multi-edges from
+    # overlapping blocking keys inflate the edge table ~3x without adding
+    # a single node. Collecting the universe (per-block partial uniques ->
+    # tree merge) is one streaming pass over the edge blocks and is exactly
+    # the first step the broadcast path needs anyway, so the gate costs
+    # nothing when broadcast wins. Only when even the edge table is far
+    # beyond reach (> 32x limit rows) do we skip the count and go straight
+    # to the fully-distributed hash-join rounds.
     if sym.count() <= 32 * broadcast_limit:
         nodes = _collect_universe(sym)
         if len(nodes) <= broadcast_limit:
             return _broadcast_components(sym, max_rounds, nodes=nodes)
 
+    return _hashjoin_components(sym, num_partitions, max_rounds)
+
+
+def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
+    """Fully-distributed strategy: no single structure is ever collected.
+
+    Each round = one-hop neighbor-min propagation (join + groupby.min +
+    join back) FOLLOWED by one pointer-jumping compression join
+    (label <- label[label]), doubling effective hop reach per round."""
     # initial labels: every endpoint labels itself
     labels = (
         sym.select_columns(["src"])
@@ -95,7 +113,19 @@ def connected_components(edges, num_partitions: int = 32,
         .materialize()
     )
 
-    for _ in range(max_rounds):
+    def take_min(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        nbr = pc.fill_null(b["nbr_label"], b["label"])
+        new = pc.min_element_wise(b["label"], nbr)
+        changed = pc.cast(pc.not_equal(new, b["label"]), pa.int64())
+        return pa.table({"node_id": b["node_id"], "label": new,
+                         "changed": changed})
+
+    converged = False
+    rounds_used = 0
+    for _round in range(max_rounds):
+        rounds_used = _round + 1
         # candidate label per node: min over neighbors' labels
         cand = (
             sym.join(labels, join_type="inner",
@@ -109,22 +139,51 @@ def connected_components(edges, num_partitions: int = 32,
             cand, join_type="left_outer", num_partitions=num_partitions,
             on=("node_id",),
         )
-
-        def take_min(b):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            nbr = pc.fill_null(b["nbr_label"], b["label"])
-            new = pc.min_element_wise(b["label"], nbr)
-            changed = pc.cast(pc.not_equal(new, b["label"]), pa.int64())
-            return pa.table({"node_id": b["node_id"], "label": new,
-                             "changed": changed})
-
         merged = merged.map_batches(take_min, batch_format="pyarrow") \
                        .materialize()
         n_changed = merged.sum("changed")
-        labels = merged.drop_columns(["changed"]).materialize()
+        labels = merged.drop_columns(["changed"])
+
+        # pointer jumping: label <- label(label). Join the label table to
+        # itself (left.label == right.node_id); monotone, and doubles the
+        # hop distance covered per outer round.
+        lab_as_parent = _rename(labels, {"node_id": "label",
+                                         "label": "nbr_label"})
+        jumped = labels.join(
+            lab_as_parent, join_type="left_outer",
+            num_partitions=num_partitions, on=("label",),
+        )
+        labels = jumped.map_batches(take_min, batch_format="pyarrow") \
+                       .drop_columns(["changed"]).materialize()
         if not n_changed:
+            converged = True
             break
+
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update({"strategy": "hash_join", "rounds": rounds_used,
+                          "converged": converged})
+    if not converged:
+        # one more propagation pass to CHECK the fixed point: labels may
+        # have converged exactly at the last allowed round
+        cand = (
+            sym.join(labels, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("dst",), right_on=("node_id",))
+            .select_columns(["src", "label"])
+            .groupby("src").min("label")
+        )
+        cand = _rename(cand, {"src": "node_id", "min(label)": "nbr_label"})
+        merged = labels.join(cand, join_type="left_outer",
+                             num_partitions=num_partitions, on=("node_id",))
+        still = merged.map_batches(take_min, batch_format="pyarrow") \
+                      .sum("changed")
+        if still:
+            raise RuntimeError(
+                f"connected_components: hash-join strategy exhausted "
+                f"max_rounds={max_rounds} with {still} labels still "
+                f"changing — components would be silently split. Raise "
+                f"max_rounds (hop reach doubles per round).")
+        LAST_RUN_INFO["converged"] = True
 
     return _rename(labels, {"label": "cluster_id"})
 
@@ -161,13 +220,14 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
     converted to (src_idx, dst_idx) int64 blocks in ONE pass (hash-based
     pd.Index.get_indexer — string work never repeats per round), and each
     round broadcasts only the int64 parent vector (8 bytes/node). Map
-    tasks emit per-block partial (src_idx, min dst_label_idx) pairs; the
-    driver folds them with np.minimum.at and fully path-compresses by
-    repeated parent = parent[parent] (pointer jumping, O(log diameter)
-    vectorized passes). Index rank preserves lexicographic node order, so
-    min-index == min node_id — the same deterministic cluster_id as the
-    hash-join strategy. Duplicate edges cost one int row each — no dedup
-    shuffle needed upstream."""
+    tasks emit per-block DENSE min-label vectors which a TREE of Ray
+    tasks folds with np.minimum — the driver never iterates partials, it
+    ray.gets exactly one reduced vector per round, then fully
+    path-compresses by repeated parent = parent[parent] (pointer jumping,
+    O(log diameter) vectorized passes). Index rank preserves lexicographic
+    node order, so min-index == min node_id — the same deterministic
+    cluster_id as the hash-join strategy. Duplicate edges cost one int row
+    each — no dedup shuffle needed upstream."""
     import os
     import time
     import numpy as np
@@ -195,7 +255,9 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
     index_ref = ray.put(pd.Index(nodes))
     _mark("index_put")
 
-    # 2. one-pass string -> index conversion of the edge blocks
+    # 2. one-pass string -> index conversion of the edge blocks; blocks
+    # stay in the object store as (si, di) int64 pairs reachable by ref —
+    # the driver never pulls them.
     def _to_idx(batch: pa.Table) -> pa.Table:
         idx = ray.get(index_ref)
         si = idx.get_indexer(batch["src"].to_numpy(zero_copy_only=False))
@@ -203,33 +265,37 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
         return pa.table({"si": pa.array(si, pa.int64()),
                          "di": pa.array(di, pa.int64())})
 
-    import ray as _ray
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     sym_idx = sym.map_batches(_to_idx, batch_format="pyarrow",
                               zero_copy_batch=True) \
                  .repartition(cpus).materialize()   # few fat int blocks:
     # per-round wall = max block compute, not per-block dispatch overhead
+    block_refs = sym_idx.to_arrow_refs()
     _mark("to_idx+repartition")
 
-    # 3. iterate: broadcast parent, per-block partial mins, driver fold
+    # 3. per-round: broadcast parent, per-block dense partial mins in
+    # tasks, TREE-reduce (arity 8) in tasks, driver folds ONE vector.
+    @ray.remote(num_cpus=1)
+    def _prop_block(block: pa.Table, par: np.ndarray, n: int) -> np.ndarray:
+        si = block["si"].to_numpy()
+        lab = par[block["di"].to_numpy()]
+        cand = np.arange(n, dtype=np.int64)
+        np.minimum.at(cand, si, lab)
+        return cand
+
+    @ray.remote(num_cpus=1)
+    def _min_merge(*vecs: np.ndarray) -> np.ndarray:
+        return np.minimum.reduce(vecs)
+
+    ARITY = 8
     for _round in range(max_rounds):
         parent_ref = ray.put(parent)
-
-        def prop(batch: pa.Table) -> pa.Table:
-            par = ray.get(parent_ref)
-            src = batch["si"].to_numpy()
-            lab = par[batch["di"].to_numpy()]
-            uniq_src, inv = np.unique(src, return_inverse=True)
-            mins = np.full(len(uniq_src), n, dtype=np.int64)
-            np.minimum.at(mins, inv, lab)
-            return pa.table({"si": pa.array(uniq_src, pa.int64()),
-                             "lab": pa.array(mins, pa.int64())})
-
-        cand = parent.copy()
-        for b in sym_idx.map_batches(prop, batch_format="pyarrow",
-                                     zero_copy_batch=True).iter_batches(
-                                         batch_format="pyarrow"):
-            np.minimum.at(cand, b["si"].to_numpy(), b["lab"].to_numpy())
+        partials = [_prop_block.remote(ref, parent_ref, n)
+                    for ref in block_refs]
+        while len(partials) > 1:
+            partials = [_min_merge.remote(*partials[i:i + ARITY])
+                        for i in range(0, len(partials), ARITY)]
+        cand = ray.get(partials[0])
         changed = int((cand < parent).sum())
         parent = np.minimum(parent, cand)
         # pointer jumping to full compression (vectorized)
@@ -242,6 +308,9 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
         if changed == 0:
             break
 
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update({"strategy": "broadcast", "rounds": _round + 1,
+                          "converged": True, "n_nodes": n})
     tbl = pa.table({"node_id": pa.array(nodes, pa.string()),
                     "cluster_id": pa.array(nodes[parent], pa.string())})
     import ray.data as rd

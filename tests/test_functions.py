@@ -132,6 +132,71 @@ class TestDedup:
                   if exact_jaccard(texts[a], texts[b]) >= 0.9]
         assert len(strong) > 0
 
+    def test_minhash_over_cap_duplicates_lossless(self, ray_session):
+        """A duplicate cluster LARGER than the band-group cap must still
+        yield full all-pairs recall: identical signatures collapse to one
+        group before the cap applies, so mass duplication never truncates
+        (the old code silently dropped rows past position `cap`)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            minhash_lsh_pairs)
+        n = 40
+        docs = pd.DataFrame({
+            "doc_id": range(n),
+            # 30 exact copies (> cap=8) + 10 distinct fillers
+            "text": (["the quick brown fox jumps over the lazy dog"] * 30
+                     + [f"totally unrelated filler text number {i} "
+                        f"with words {i * 7} and {i * 13}"
+                        for i in range(10)]),
+        })
+        got = minhash_lsh_pairs(ray.data.from_pandas(docs),
+                                est_threshold=0.5, cap=8).to_pandas()
+        dup_pairs = {(a, b) for a, b in zip(got.a_id, got.b_id)
+                     if a < 30 and b < 30}
+        assert len(dup_pairs) == 30 * 29 // 2     # full all-pairs recall
+        # identical docs come from collapsed groups, not over-cap windows
+        assert (got.loc[(got.a_id < 30) & (got.b_id < 30),
+                        "oversized"] == 0).all()
+
+    def test_minhash_over_cap_distinct_flagged(self, ray_session):
+        """More DISTINCT signatures than the cap in one band -> pairs are
+        still emitted (windowed) and every one is flagged oversized=1 —
+        truncation is observable, never silent."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            minhash_lsh_pairs)
+        # near-identical long docs: each differs by one trailing token, so
+        # signatures are distinct but est-jaccard stays >= 0.5
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo "
+                "sierra tango uniform victor whiskey xray yankee zulu ")
+        docs = pd.DataFrame({
+            "doc_id": range(12),
+            "text": [base * 3 + f"tail{i}" for i in range(12)],
+        })
+        got = minhash_lsh_pairs(ray.data.from_pandas(docs),
+                                est_threshold=0.5, cap=4,
+                                window=4).to_pandas()
+        assert len(got) > 0
+        assert (got.oversized == 1).any()
+
+    def test_simhash_over_cap_duplicates_lossless(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            simhash_pairs)
+        n = 30
+        docs = pd.DataFrame({
+            "doc_id": range(n),
+            "text": (["identical document body for simhash cap test"] * 20
+                     + [f"some other completely different text {i} "
+                        f"{i * 31} {i * 17}" for i in range(10)]),
+        })
+        got = simhash_pairs(ray.data.from_pandas(docs), max_hamming=3,
+                            cap=6).to_pandas()
+        dup = got[(got.a_id < 20) & (got.b_id < 20)]
+        assert len(dup) == 20 * 19 // 2
+        assert (dup.hamming == 0).all()
+
     def test_simhash_pairs_sane(self, ray_session, docs_df):
         from ai_bangladesh_address_parser_ray.functions.dedup import (
             simhash_pairs)
@@ -179,6 +244,39 @@ class TestSimilarity:
             cand.sort(key=lambda t: (-t[0], t[1]))
             out[int(ids[qi])] = cand[:k]
         return out
+
+    def test_embedding_pairs_lsh_path_matches_brute(self, ray_session):
+        """The scale-gated sign-LSH strategy must find the same near-dup
+        pairs as the broadcast brute-force on a seeded clustered corpus
+        (high-tau near-dups collide in >=1 of 16 bands w.p. ~1-1e-8)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            embedding_cosine_pairs)
+        rng = np.random.RandomState(7)
+        dim, n_clusters, per = 32, 12, 4
+        base = rng.standard_normal((n_clusters, dim))
+        vecs, ids = [], []
+        for c in range(n_clusters):
+            for j in range(per):
+                v = base[c] + 0.02 * rng.standard_normal(dim)
+                vecs.append(v / np.linalg.norm(v))
+                ids.append(c * per + j)
+        # plus unrelated noise vectors
+        for j in range(60):
+            v = rng.standard_normal(dim)
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(1000 + j)
+        df = pd.DataFrame({"vec_id": ids,
+                           "embedding": [list(v) for v in vecs]})
+        ds = ray.data.from_pandas(df)
+        tau = 0.95
+        brute = embedding_cosine_pairs(ds, tau=tau).to_pandas()
+        lsh = embedding_cosine_pairs(ds, tau=tau,
+                                     broadcast_limit=0).to_pandas()
+        bp = set(zip(brute.a_id, brute.b_id))
+        lp = set(zip(lsh.a_id, lsh.b_id))
+        assert bp, "fixture must contain near-dup pairs"
+        assert lp == bp
 
     def test_knn_brute_matches_numpy(self, ray_session, emb_df):
         from ai_bangladesh_address_parser_ray.functions.similarity import (

@@ -93,6 +93,22 @@ class TestLinkagePipeline:
             assert m["complete"] and m["rows"] >= 0
             assert sum(f["rows"] for f in m["files"]) == m["rows"]
 
+    def test_metrics_populated(self, linkage_result):
+        """metrics must be populated unconditionally (north-rule lineage +
+        metrics), not only inside checkpoint manifests."""
+        res, *_ = linkage_result
+        m = res["metrics"]
+        for phase in ["extract", "pairs", "edges", "unionfind", "join_back"]:
+            assert phase in m, phase
+        assert m["extract"]["rows_out"] > 0
+        assert m["pairs"]["rows_out"] > 0
+        assert m["edges"]["rows_out"] > 0
+        assert m["unionfind"]["strategy"] in ("broadcast", "hash_join")
+        assert m["unionfind"]["converged"] is True
+        assert m["unionfind"]["rounds"] >= 1
+        for phase in ["extract", "pairs", "edges", "unionfind"]:
+            assert m[phase]["wall_s"] >= 0
+
     def test_resume_identical_output(self, linkage_result, synth_small):
         """Rerun with the same checkpoint dir: phases are skipped (manifest
         fingerprints match) and the final clustering is identical."""

@@ -71,11 +71,12 @@ def main():
 
     t0 = time.time()
     clusters_h = clusters.map_batches(
-        lambda b: b.append_column("node_h",
-                                  _hash64(b["node_id"].to_pylist())),
+        lambda b: (b.append_column("node_h", _hash64(b["node_id"], 0))
+                    .append_column("node_h2", _hash64(b["node_id"], 1))),
         batch_format="pyarrow").drop_columns(["node_id"])
     turns = extracted.join(clusters_h, join_type="left_outer",
-                           num_partitions=cfg.num_partitions, on=("node_h",))
+                           num_partitions=cfg.num_partitions,
+                           on=("node_h", "node_h2"))
     turns = turns.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("cluster_id"),
                                "cluster_id",
