@@ -215,6 +215,14 @@ def _extracted(sf_dir):
     return dedup_extract_stage(normalize_stage(_transcripts(sf_dir)))
 
 
+def _q_geo_enrich(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        geo_validate_stage)
+    return geo_validate_stage(_extracted(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "area", "district", "division",
+         "postal_code", "geo_valid", "geo_conflicts", "geo_upazila"])
+
+
 def _q_validate_turns(sf_dir):
     from ai_bangladesh_address_parser_ray.stages.postprocess import validate_stage
     return validate_stage(_extracted(sf_dir)).select_columns(
@@ -283,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
         "media_frame_features": _q_media_frames,
+        "geo_enrich_turns": _q_geo_enrich,
         "validate_turns": _q_validate_turns,
         "format_turns": _q_format_turns,
         "district_distribution": _q_district_distribution,

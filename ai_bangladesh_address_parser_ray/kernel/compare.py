@@ -169,7 +169,15 @@ _IDENTIFIER_FIELDS = {
 
 
 def _is_identifier(v: str) -> bool:
-    return len(v) <= 6 and any(ch.isdigit() for ch in v)
+    """Short digit-bearing values ('12', '105/A') AND digit-dominant longer
+    ones ('ga/1985/a', '228/B/3/A'): a Banglish-prefixed house number is an
+    identifier too — 'Ga/3936' vs 'Ga/1985' must score 0.0, not inherit
+    fuzzy credit from the shared prefix."""
+    nd = sum(ch.isdigit() for ch in v)
+    if nd == 0:
+        return False
+    alnum = sum(ch.isalnum() for ch in v)
+    return len(v) <= 6 or nd * 2 >= alnum
 
 
 def score_pair(c1: Dict, c2: Dict, threshold: float = MATCH_THRESHOLD) -> Dict:

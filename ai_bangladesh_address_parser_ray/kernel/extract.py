@@ -8,10 +8,13 @@ and evidence merge done in-process so evidence never leaves the task:
   2 canonical normalize            -> kernel.normalizer
   3 FSM parse        (source fsm)  -> kernel.fsm
   4 regex extractors (source regex)-> kernel.extractors
-  5 spaCy NER — intentionally absent: spaCy isn't in this environment and the
-    stage is optional in the reference (stage_config.py profiles); the stage
-    registry leaves a documented slot.
-  6-7 gazetteer + geo validate/enrich -> kernel.gazetteer
+  5 NER — pluggable model slot (see ``ner_model`` ctor arg): spaCy isn't in
+    this environment, so the default is None; any object with a
+    ``predict(texts) -> [ {component: (value, conf)} ]`` method plugs in
+    (the reference's custom ``model_path`` surface, ``spacy_ner.py:27-47``).
+  6 gazetteer validate/enrich      -> kernel.gazetteer
+  7 geographic validator           -> kernel.geo (hierarchy + 6-priority
+    postal prediction + proactive upazila/union scan)
   8 conflict resolution            -> kernel.resolver
   9 output projection + overall confidence (mean of resolved confidences,
     ``extractor.py:353-364``)
@@ -39,7 +42,8 @@ DEFAULT_THRESHOLDS = {
     "floor_number": 0.70, "block_number": 0.70,
 }
 
-_STAGE_DEFAULTS = {"fsm": True, "regex": True, "gazetteer": True}
+_STAGE_DEFAULTS = {"fsm": True, "regex": True, "ner": True,
+                   "gazetteer": True, "geo": True}
 
 
 class ExtractionKernel:
@@ -48,16 +52,28 @@ class ExtractionKernel:
     ``stages``: toggle evidence stages like the reference's stage_config
     profiles (`tools/control_stages.py:34-60`). normalize + resolve + output
     are mandatory, as in the reference (stages 2, 8, 9 forced on).
+
+    ``ner_model``: optional stage-5 model object with
+    ``predict(text) -> {component: (value, confidence)}``; evidence lands
+    with source ``spacy_ner`` weighting. None (default) skips the stage —
+    the reference's optional NER slot with a pluggable ``model_path``.
+
+    ``geo``: optional GeoHierarchy instance for stage 7 (defaults to the
+    module fixture; inject a fuller hierarchy dim here).
     """
 
     def __init__(self, thresholds: Optional[Dict[str, float]] = None,
-                 stages: Optional[Dict[str, bool]] = None):
+                 stages: Optional[Dict[str, bool]] = None,
+                 ner_model=None, geo=None):
         self.thresholds = dict(DEFAULT_THRESHOLDS)
         if thresholds:
             self.thresholds.update(thresholds)
         self.stages = dict(_STAGE_DEFAULTS)
         if stages:
             self.stages.update(stages)
+        self.ner_model = ner_model
+        from .geo import default_geo
+        self.geo = geo or default_geo()
 
     def extract(self, text: str, detailed: bool = False) -> Dict:
         script = detect_script(text)            # stage 1
@@ -80,7 +96,14 @@ class ExtractionKernel:
                         {"value": hit[0], "confidence": hit[1],
                          "source": "regex"})
 
-        if self.stages["gazetteer"]:            # stages 6-7
+        if self.stages["ner"] and self.ner_model is not None:   # stage 5
+            for comp, hit in (self.ner_model.predict(norm) or {}).items():
+                if comp in evidence and hit:
+                    evidence[comp].append(
+                        {"value": hit[0], "confidence": hit[1],
+                         "source": "spacy_ner"})
+
+        if self.stages["gazetteer"]:            # stage 6
             if not evidence["area"]:
                 # fuzzy back-extraction (reference gazetteer.py:321-377)
                 for tok in norm.replace(",", " ").split():
@@ -93,6 +116,10 @@ class ExtractionKernel:
                                  "source": "gazetteer_corrected"})
                             break
             validate_and_enrich(evidence)
+
+        if self.stages["geo"]:                  # stage 7
+            from .geo import geo_enrich
+            geo_enrich(evidence, norm, self.geo)
 
         resolved = resolve_with(evidence, self.thresholds)   # stage 8
 

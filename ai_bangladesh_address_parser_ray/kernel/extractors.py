@@ -24,15 +24,50 @@ Hit = Optional[Tuple[str, float]]
 _NUMTOK = r"\d+(?:/[A-Za-z0-9]+)?"
 
 # ---------------------------------------------------------------- house
+# NOTE: patterns run on NORMALIZED text — the normalizer rewrites `#`
+# to " No " and `:` to " ", so the reference's `House# 12` / `H:51`
+# forms arrive here as `House No 12` / `H 51` (one bank covers both).
+_HOUSE_KW = r"(?:House|Home|Hous|Bari|Basa|Basha)"
+# Banglish alphabet prefixes (`Kha-32/1`, `CHO 55/A`, `JA-10/1/A`; reference
+# `house_number_processor.py:131-137`) — multi-letter forms only: the
+# reference's single-letter `k/g` alternatives false-positive on initials
+_BANGLISH = r"(?:kha|gha|jha|chha|cho|cha|ka|kh|ja|ga|ch|gh)"
 _HOUSE_PATTERNS = [
-    (re.compile(rf"\bHouse\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)", re.I), 0.95),
+    (re.compile(rf"\b{_HOUSE_KW}\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)",
+                re.I), 0.95),
     (re.compile(rf"\bHolding\s*(?:No\.?\s*)?-?\s*({_NUMTOK})", re.I), 0.92),
-    (re.compile(rf"\bHouse\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.90),
+    (re.compile(rf"\b(?:Building|Bldg)\s*(?:No\.?\s*)?[\s-]*"
+                rf"({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
+    (re.compile(rf"\bPlot\s*(?:No\.?\s*)?[\s-]*({_NUMTOK}[A-Za-z]?)\b",
+                re.I), 0.92),
+    # ranges / multiples: "House 8+9", "House 98-99" (reference :173-175)
+    (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*(\d+\s*[+&]\s*\d+)\b", re.I), 0.90),
+    (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*(\d+\s*-\s*\d+)\b", re.I), 0.90),
+    (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.90),
+    # Banglish prefix + number chain: Kha/50, Kha-32/1, CHO 55/A
+    (re.compile(rf"\b({_BANGLISH}\s*[-/]?\s*\d+(?:/[A-Za-z0-9]+)*)"
+                rf"(?=\s*[,(]|\s|$)", re.I), 0.90),
+    # "H# 12" / "H# CB 11/12" arrive as "H No 12" / "H No CB 11/12"
+    (re.compile(rf"\bH\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
+    (re.compile(r"\bH\s*No\.?\s*([A-Z]{1,3}\s*\d+(?:/[A-Za-z0-9]+)*)\b",
+                re.I), 0.92),
+    (re.compile(rf"\bH\s*[@]\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.88),
     (re.compile(rf"\bH\s*[-.]?\s*({_NUMTOK})\b", re.I), 0.85),
     # leading positional: "105/A, Central Road ..."
     (re.compile(rf"^\s*(\d{{1,4}}(?:/[A-Za-z0-9]+)?)\s*[, ]"), 0.75),
 ]
 _POSTAL_SHAPE = re.compile(r"^\d{4}$")
+# guard: "2 No Road / 3 No Lane / 6 No ward" — the number names a road or
+# ward, not a house (reference `_is_road_goli_number`, :404-447)
+_ROAD_GOLI_AFTER = re.compile(
+    r"^\s*No\.?\s+(?:\w+\s+){0,2}?(?:Road|Lane|Goli|Ward|Gate|Sector|"
+    r"Thana|Upazila|Checkpost)\b", re.I)
+# guard: institutional context right before the number — "Ward 12",
+# "Mosque 5" etc. name the institution's unit, not a house (reference
+# institutional skip, house_number_processor.py:612-700)
+_INSTITUTION_BEFORE = re.compile(
+    r"(?:hospital|college|university|school|mosque|masjid|bank|ward)"
+    r"[\s,]*$", re.I)
 
 
 def extract_house(text: str) -> Hit:
@@ -42,21 +77,37 @@ def extract_house(text: str) -> Hit:
         if not m:
             continue
         val = m.group(1)
+        # guard: phone-shaped (>5 digits in one run) can never be a house
+        digits = re.sub(r"\D", "", val)
+        if len(digits) > 5:
+            continue
         # guard: a bare 4-digit token in the trailing third is postal-shaped
         # (reference guard `_is_postal_code`, house_number_processor.py:447)
         if _POSTAL_SHAPE.match(val) and m.start(1) > 0.66 * n:
+            continue
+        if _ROAD_GOLI_AFTER.match(text[m.end(1):]):
+            continue
+        if _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:]):
             continue
         return val, conf
     return None
 
 
 # ----------------------------------------------------------------- road
+# Bangla road forms (`রোড/লেন/গলি`, reference road_processor.py) arrive
+# post-normalization as Road/Lane/Lane, so the Latin bank covers them; Goli
+# appears verbatim when written in Latin script ("Nasir Goli").
 _ROAD_PATTERNS = [
-    (re.compile(r"\bRoad\s*No\.?\s*-?\s*(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)", re.I), 0.95),
-    (re.compile(r"\bRoad\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.90),
+    (re.compile(r"\b(?:Road|Rd)\s*No\.?\s*-?\s*"
+                r"(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)", re.I), 0.95),
+    (re.compile(r"\b(?:Road|Rd)\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.90),
+    # "2 No Road" — the road-goli form the house guard rejects
+    (re.compile(r"\b(\d+)\s*No\.?\s+(?:Road|Goli|Lane)\b", re.I), 0.90),
+    (re.compile(r"\bLane\s*(?:No\.?)?\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
     (re.compile(r"\bR\s*[-.]\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
 ]
-_NAMED_ROAD = re.compile(r"\b(?:Road|Lane|Avenue)\b\s*$", re.I)
+_NAMED_ROAD = re.compile(
+    r"\b(?:Road|Lane|Avenue|Street|Goli|Sarani|Sarak)\b\s*$", re.I)
 _FEET_ROAD = re.compile(r"\b(\d+\s*feet\s*road)\b", re.I)
 
 
@@ -68,7 +119,7 @@ def extract_road(text: str) -> Hit:
     m = _FEET_ROAD.search(text)
     if m:
         return m.group(1), 0.90
-    # named roads: a comma segment ending in Road/Lane/Avenue
+    # named roads: a comma segment ending in Road/Lane/Avenue/Goli/...
     for seg in text.split(","):
         seg = seg.strip()
         if seg and _NAMED_ROAD.search(seg) and len(seg) <= 48:
@@ -135,7 +186,12 @@ _POSTAL_EXPLICIT = re.compile(
 # pattern bank restricts to city/area names)
 _CITY_DASH = re.compile(r"\b([A-Za-z]{3,})\s*-\s*(\d{4})\b")
 _CITY_DASH_BAD = {"house", "road", "flat", "floor", "block", "level",
-                  "holding", "sector", "lane", "apartment"}
+                  "holding", "sector", "lane", "apartment", "plot",
+                  "building", "bldg", "basa", "basha", "bari",
+                  # Banglish house prefixes: "Kha-9503" is a house, never
+                  # "city Kha with postal 9503"
+                  "kha", "gha", "jha", "chha", "cho", "cha", "kh", "ja",
+                  "gh", "ch"}
 _FOUR_DIGIT = re.compile(r"\b(\d{4})\b")
 _POSTAL_BAD_CTX = re.compile(r"\b(?:House|Road|Flat|H|R)\s*(?:No\.?\s*)?-?\s*$", re.I)
 

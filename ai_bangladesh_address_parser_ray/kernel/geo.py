@@ -1,0 +1,412 @@
+"""Offline Bangladesh geographic hierarchy engine (pipeline stage 7 state).
+
+Behavioral twin of the reference's offline geo intelligence
+(``/root/reference/src/geo/bangladesh_geo_offline.py:221-393``) and the
+geographic validator stage (``src/core/stages/geographic_validator.py``):
+
+- Division > District > Upazila > Union > Village hierarchy dicts
+- postal-code mappings (postal->upazila, district->postal set)
+- 6-priority postal prediction with district-consistency VETOES at every
+  priority and the deterministic ``sorted()[0]`` district-level tie-break
+  (``bangladesh_geo_offline.py:332``)
+- ``get_full_hierarchy(postal)`` reverse lookup
+- ``validate_location`` consistency check with conflicts + suggestions
+- proactive upazila/union scan over the raw string
+  (``geographic_validator.py:171-229``)
+
+The data here is a curated PUBLIC-KNOWLEDGE fixture (well-known upazilas /
+unions per district with postal codes in each district's real code range) —
+the reference ships ~4 MB of division JSONs; this module keeps the same
+lookup semantics over a smaller deterministic dim, and `load_hierarchy`
+accepts an external dict of the same shape for users with a fuller dataset
+(the reference's `division_data_path` extension surface).
+
+Where the reference iterates plain dicts (insertion order), this module
+iterates in **sorted name order** so every scan is deterministic and
+replay-stable — required by the distributed pipeline's retry semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+# upazila(lower) -> (district, division, postal_code)
+UPAZILAS: Dict[str, tuple] = {
+    # Dhaka district
+    "savar":        ("Dhaka", "Dhaka", "1340"),
+    "dhamrai":      ("Dhaka", "Dhaka", "1350"),
+    "keraniganj":   ("Dhaka", "Dhaka", "1310"),
+    "dohar":        ("Dhaka", "Dhaka", "1330"),
+    "nawabganj":    ("Dhaka", "Dhaka", "1320"),
+    # Gazipur
+    "kaliakair":    ("Gazipur", "Dhaka", "1750"),
+    "kapasia":      ("Gazipur", "Dhaka", "1730"),
+    "sreepur":      ("Gazipur", "Dhaka", "1740"),
+    "kaliganj":     ("Gazipur", "Dhaka", "1720"),
+    # Narayanganj
+    "rupganj":      ("Narayanganj", "Dhaka", "1460"),
+    "sonargaon":    ("Narayanganj", "Dhaka", "1440"),
+    "araihazar":    ("Narayanganj", "Dhaka", "1450"),
+    "bandar":       ("Narayanganj", "Dhaka", "1410"),
+    # Chattogram
+    "sitakunda":    ("Chattogram", "Chattogram", "4310"),
+    "mirsharai":    ("Chattogram", "Chattogram", "4320"),
+    "patiya":       ("Chattogram", "Chattogram", "4370"),
+    "anwara":       ("Chattogram", "Chattogram", "4376"),
+    "boalkhali":    ("Chattogram", "Chattogram", "4366"),
+    "rangunia":     ("Chattogram", "Chattogram", "4360"),
+    "raozan":       ("Chattogram", "Chattogram", "4340"),
+    "hathazari":    ("Chattogram", "Chattogram", "4330"),
+    "sandwip":      ("Chattogram", "Chattogram", "4300"),
+    "banshkhali":   ("Chattogram", "Chattogram", "4390"),
+    # Comilla
+    "daudkandi":    ("Comilla", "Chattogram", "3516"),
+    "laksam":       ("Comilla", "Chattogram", "3570"),
+    "chandina":     ("Comilla", "Chattogram", "3510"),
+    "homna":        ("Comilla", "Chattogram", "3546"),
+    # Cox's Bazar
+    "teknaf":       ("Cox's Bazar", "Chattogram", "4760"),
+    "ukhia":        ("Cox's Bazar", "Chattogram", "4750"),
+    "chakaria":     ("Cox's Bazar", "Chattogram", "4740"),
+    "ramu":         ("Cox's Bazar", "Chattogram", "4730"),
+    # Sylhet
+    "beanibazar":   ("Sylhet", "Sylhet", "3170"),
+    "golapganj":    ("Sylhet", "Sylhet", "3160"),
+    "jaintiapur":   ("Sylhet", "Sylhet", "3156"),
+    "companiganj":  ("Sylhet", "Sylhet", "3140"),
+    "balaganj":     ("Sylhet", "Sylhet", "3120"),
+    "bishwanath":   ("Sylhet", "Sylhet", "3130"),
+    # Rajshahi
+    "paba":         ("Rajshahi", "Rajshahi", "6210"),
+    "godagari":     ("Rajshahi", "Rajshahi", "6290"),
+    "tanore":       ("Rajshahi", "Rajshahi", "6230"),
+    "bagha":        ("Rajshahi", "Rajshahi", "6280"),
+    "charghat":     ("Rajshahi", "Rajshahi", "6270"),
+    "puthia":       ("Rajshahi", "Rajshahi", "6260"),
+    # Khulna
+    "dumuria":      ("Khulna", "Khulna", "9250"),
+    "phultala":     ("Khulna", "Khulna", "9210"),
+    "dighalia":     ("Khulna", "Khulna", "9220"),
+    "paikgachha":   ("Khulna", "Khulna", "9280"),
+    "rupsha":       ("Khulna", "Khulna", "9240"),
+    # Barisal
+    "bakerganj":    ("Barisal", "Barisal", "8280"),
+    "babuganj":     ("Barisal", "Barisal", "8210"),
+    "wazirpur":     ("Barisal", "Barisal", "8220"),
+    "banaripara":   ("Barisal", "Barisal", "8530"),
+    "gournadi":     ("Barisal", "Barisal", "8230"),
+    # Rangpur
+    "mithapukur":   ("Rangpur", "Rangpur", "5460"),
+    "badarganj":    ("Rangpur", "Rangpur", "5430"),
+    "gangachara":   ("Rangpur", "Rangpur", "5410"),
+    "pirgachha":    ("Rangpur", "Rangpur", "5450"),
+    "kaunia":       ("Rangpur", "Rangpur", "5440"),
+    # Mymensingh
+    "trishal":      ("Mymensingh", "Mymensingh", "2220"),
+    "bhaluka":      ("Mymensingh", "Mymensingh", "2240"),
+    "muktagachha":  ("Mymensingh", "Mymensingh", "2210"),
+    "fulbaria":     ("Mymensingh", "Mymensingh", "2216"),
+    "gafargaon":    ("Mymensingh", "Mymensingh", "2230"),
+    "ishwarganj":   ("Mymensingh", "Mymensingh", "2280"),
+}
+
+# union(lower) -> (upazila, district, division); postal inherits upazila's
+UNIONS: Dict[str, tuple] = {
+    "ashulia":      ("savar", "Dhaka", "Dhaka"),
+    "birulia":      ("savar", "Dhaka", "Dhaka"),
+    "pathalia":     ("savar", "Dhaka", "Dhaka"),
+    "kalatia":      ("keraniganj", "Dhaka", "Dhaka"),
+    "konda":        ("keraniganj", "Dhaka", "Dhaka"),
+    "aganagar":     ("keraniganj", "Dhaka", "Dhaka"),
+    "mouchak":      ("kaliakair", "Gazipur", "Dhaka"),
+    "bhatiari":     ("sitakunda", "Chattogram", "Chattogram"),
+    "kumira":       ("sitakunda", "Chattogram", "Chattogram"),
+    "salimpur":     ("sitakunda", "Chattogram", "Chattogram"),
+    "kanchpur":     ("sonargaon", "Narayanganj", "Dhaka"),
+    "jahapur":      ("muktagachha", "Mymensingh", "Mymensingh"),
+}
+
+# village(lower) -> (union, upazila, district, division)
+VILLAGES: Dict[str, tuple] = {
+    "genda":        ("pathalia", "savar", "Dhaka", "Dhaka"),
+    "yearpur":      ("ashulia", "savar", "Dhaka", "Dhaka"),
+    "panishail":    ("birulia", "savar", "Dhaka", "Dhaka"),
+    "baher char":   ("konda", "keraniganj", "Dhaka", "Dhaka"),
+    "fouzdarhat":   ("salimpur", "sitakunda", "Chattogram", "Chattogram"),
+    "masdair":      ("kanchpur", "sonargaon", "Narayanganj", "Dhaka"),
+}
+
+# post-office name(lower) -> (district, postal_code) — priority-4 areas
+POST_OFFICES: Dict[str, tuple] = {
+    "dhaka gpo":        ("Dhaka", "1000"),
+    "dhaka cantonment": ("Dhaka", "1206"),
+    "chattogram gpo":   ("Chattogram", "4000"),
+    "khulna gpo":       ("Khulna", "9000"),
+    "sylhet sadar":     ("Sylhet", "3100"),
+    "rajshahi gpo":     ("Rajshahi", "6000"),
+    "savar cantonment": ("Dhaka", "1344"),
+}
+
+
+class GeoHierarchy:
+    """Loaded lookup structures; build once per actor / oracle process."""
+
+    def __init__(self, upazilas=None, unions=None, villages=None,
+                 post_offices=None):
+        self.upazilas = dict(UPAZILAS if upazilas is None else upazilas)
+        self.unions = dict(UNIONS if unions is None else unions)
+        self.villages = dict(VILLAGES if villages is None else villages)
+        self.post_offices = dict(
+            POST_OFFICES if post_offices is None else post_offices)
+
+        # postal mappings: postal->upazila keeps the SORTED-FIRST upazila
+        # when codes collide (deterministic, mirrors the reference's
+        # first-loaded-wins made replay-stable)
+        self.postal_to_upazila: Dict[str, str] = {}
+        self.district_to_postals: Dict[str, set] = {}
+        self.district_to_division: Dict[str, str] = {}
+        for name in sorted(self.upazilas):
+            district, division, code = self.upazilas[name]
+            self.district_to_division.setdefault(district.lower(), division)
+            if code:
+                self.postal_to_upazila.setdefault(code, name)
+                self.district_to_postals.setdefault(
+                    district.lower(), set()).add(code)
+        for name in sorted(self.post_offices):
+            district, code = self.post_offices[name]
+            self.district_to_postals.setdefault(
+                district.lower(), set()).add(code)
+
+        # area name -> [locations]; like the reference's search index it
+        # contains upazilas, unions AND post offices
+        self.area_to_location: Dict[str, list] = {}
+        for name in sorted(self.post_offices):
+            district, code = self.post_offices[name]
+            self.area_to_location.setdefault(name, []).append(
+                {"type": "post_office", "district": district,
+                 "postal_code": code})
+        for name in sorted(self.upazilas):
+            district, division, code = self.upazilas[name]
+            self.area_to_location.setdefault(name, []).append(
+                {"type": "upazila", "district": district,
+                 "division": division, "postal_code": code})
+        for name in sorted(self.unions):
+            upz, district, division = self.unions[name]
+            code = self.upazilas.get(upz, (None, None, ""))[2]
+            self.area_to_location.setdefault(name, []).append(
+                {"type": "union", "upazila": upz, "district": district,
+                 "division": division, "postal_code": code})
+
+        # compiled alternation for the proactive scan: longest-alternative
+        # first so the leftmost-longest containment wins deterministically
+        names = sorted(set(self.upazilas) | set(self.unions),
+                       key=lambda s: (-len(s), s))
+        self._scan_re = re.compile(
+            "|".join(re.escape(n) for n in names)) if names else None
+
+    # ------------------------------------------------------ prediction ----
+
+    def predict_postal_code(self, area: Optional[str] = None,
+                            district: Optional[str] = None,
+                            division: Optional[str] = None) -> Optional[dict]:
+        """6-priority postal prediction with district-consistency vetoes
+        (reference ``bangladesh_geo_offline.py:221-338``); a vetoed priority
+        FALLS THROUGH to the next one, it does not abort."""
+        a = area.strip().lower() if area else None
+        d = district.strip().lower() if district else None
+
+        # P1: exact upazila (0.95)
+        if a and a in self.upazilas:
+            udist, udiv, code = self.upazilas[a]
+            if not (d and udist.lower() != d) and code:
+                return {"postal_code": code, "confidence": 0.95,
+                        "source": "upazila_match",
+                        "full_location": f"{area} (Upazila), {udist}, {udiv}"}
+
+        # P2: exact union (0.90)
+        if a and a in self.unions:
+            upz, udist, udiv = self.unions[a]
+            code = self.upazilas.get(upz, (None, None, ""))[2]
+            if not (d and udist.lower() != d) and code:
+                return {"postal_code": code, "confidence": 0.90,
+                        "source": "union_match",
+                        "full_location": f"{area} (Union), {upz.title()}, "
+                                         f"{udist}"}
+
+        # P3: exact village (0.85)
+        if a and a in self.villages:
+            uni, upz, udist, udiv = self.villages[a]
+            code = self.upazilas.get(upz, (None, None, ""))[2]
+            if not (d and udist.lower() != d) and code:
+                return {"postal_code": code, "confidence": 0.85,
+                        "source": "village_match",
+                        "full_location": f"{area} (Village), {uni.title()}, "
+                                         f"{upz.title()}"}
+
+        # P4: area index (post offices et al, 0.80); first consistent
+        # location in (deterministic) index order wins
+        if a and a in self.area_to_location:
+            for loc in self.area_to_location[a]:
+                if d and loc.get("district", "").lower() != d:
+                    continue
+                if loc.get("postal_code"):
+                    return {"postal_code": loc["postal_code"],
+                            "confidence": 0.80,
+                            "source": f"{loc.get('type', 'area')}_match",
+                            "full_location":
+                                f"{area}, {loc.get('district', 'Unknown')}"}
+
+        # P5: fuzzy containment over all indexed names (0.70), sorted order
+        if a:
+            for name in sorted(self.area_to_location):
+                if a in name or name in a:
+                    for loc in self.area_to_location[name]:
+                        if d and loc.get("district", "").lower() != d:
+                            continue
+                        if loc.get("postal_code"):
+                            return {"postal_code": loc["postal_code"],
+                                    "confidence": 0.70,
+                                    "source": "fuzzy_area_match",
+                                    "full_location": f"Near {name}"}
+
+        # P6: district minimum (0.60) — the sorted()[0] tie-break
+        if d and d in self.district_to_postals:
+            codes = self.district_to_postals[d]
+            if codes:
+                return {"postal_code": sorted(codes)[0], "confidence": 0.60,
+                        "source": "district_inference",
+                        "full_location": f"{district} (District-level)"}
+        return None
+
+    # --------------------------------------------------------- lookups ----
+
+    def get_full_hierarchy(self, postal_code: str) -> Optional[dict]:
+        upz = self.postal_to_upazila.get(postal_code)
+        if upz is None:
+            return None
+        district, division, _ = self.upazilas[upz]
+        unions = sorted(u for u, (up, _, _) in self.unions.items()
+                        if up == upz)
+        return {"postal_code": postal_code, "upazila": upz.title(),
+                "district": district, "division": division,
+                "unions": [u.title() for u in unions]}
+
+    def validate_location(self, area=None, district=None, division=None,
+                          postal_code=None) -> dict:
+        conflicts, suggestions = [], {}
+        if postal_code and district:
+            upz = self.postal_to_upazila.get(postal_code)
+            if upz:
+                expected = self.upazilas[upz][0]
+                if expected.lower() != district.strip().lower():
+                    conflicts.append(
+                        f"Postal {postal_code} belongs to {expected}, "
+                        f"not {district}")
+                    suggestions["district"] = expected
+        if district and division:
+            expected = self.district_to_division.get(
+                district.strip().lower())
+            if expected and expected.lower() != division.strip().lower():
+                conflicts.append(
+                    f"District {district} belongs to {expected}, "
+                    f"not {division}")
+                suggestions["division"] = expected
+        return {"valid": not conflicts, "conflicts": conflicts,
+                "suggestions": suggestions}
+
+    # -------------------------------------------------- proactive scan ----
+
+    def scan_address(self, address_lower: str) -> Optional[dict]:
+        """Find an upazila/union mention in the raw normalized string
+        (reference ``geographic_validator.py:182-228``). Leftmost-longest
+        containment match; upazilas outrank unions at the same span."""
+        if self._scan_re is None:
+            return None
+        m = self._scan_re.search(address_lower)
+        if not m:
+            return None
+        name = m.group(0)
+        if name in self.upazilas:
+            district, division, code = self.upazilas[name]
+            return {"kind": "upazila", "name": name, "district": district,
+                    "division": division, "postal_code": code}
+        upz, district, division = self.unions[name]
+        code = self.upazilas.get(upz, (None, None, ""))[2]
+        return {"kind": "union", "name": name, "district": district,
+                "division": division, "postal_code": code}
+
+
+_DEFAULT_GEO: Optional[GeoHierarchy] = None
+
+
+def default_geo() -> GeoHierarchy:
+    global _DEFAULT_GEO
+    if _DEFAULT_GEO is None:
+        _DEFAULT_GEO = GeoHierarchy()
+    return _DEFAULT_GEO
+
+
+def geo_enrich(evidence_map: Dict[str, list], norm_text: str,
+               geo: Optional[GeoHierarchy] = None) -> None:
+    """Pipeline stage 7 (geographic validator), in place over the evidence
+    map; mirrors ``geographic_validator.py:37-169`` gating:
+
+    - proactive upazila/union scan when no area evidence yet (sources
+      ``geographic_upazila_extraction`` 0.90 / ``geographic_union_extraction``
+      0.85, with district/division autofill at 0.95/0.90)
+    - division from district (``geographic_inferred_from_district`` 0.98)
+    - postal prediction accepted only at confidence >= 0.80
+      (``geographic_validator.py:130``), source prefixed ``geographic_``
+    """
+    geo = geo or default_geo()
+
+    def best(component: str) -> Optional[str]:
+        evs = evidence_map.get(component) or []
+        if not evs:
+            return None
+        return max(evs, key=lambda e: e["confidence"])["value"]
+
+    area = best("area")
+    district = best("district")
+
+    if not area:
+        hit = geo.scan_address(norm_text.lower())
+        if hit:
+            if hit["kind"] == "upazila":
+                conf_area, conf_fill = 0.90, 0.95
+                src_area = "geographic_upazila_extraction"
+                src_fill = "geographic_inferred_from_upazila"
+            else:
+                conf_area, conf_fill = 0.85, 0.90
+                src_area = "geographic_union_extraction"
+                src_fill = "geographic_inferred_from_union"
+            evidence_map.setdefault("area", []).append(
+                {"value": hit["name"].title(), "confidence": conf_area,
+                 "source": src_area})
+            area = area or hit["name"].title()
+            if not district:
+                evidence_map.setdefault("district", []).append(
+                    {"value": hit["district"], "confidence": conf_fill,
+                     "source": src_fill})
+                district = hit["district"]
+            if not best("division"):
+                evidence_map.setdefault("division", []).append(
+                    {"value": hit["division"], "confidence": conf_fill,
+                     "source": src_fill})
+
+    if district and not best("division"):
+        div = geo.district_to_division.get(district.strip().lower())
+        if div:
+            evidence_map.setdefault("division", []).append(
+                {"value": div, "confidence": 0.98,
+                 "source": "geographic_inferred_from_district"})
+
+    if not best("postal_code"):
+        pred = geo.predict_postal_code(area=area, district=district,
+                                       division=best("division"))
+        if pred and pred["confidence"] >= 0.80:
+            evidence_map.setdefault("postal_code", []).append(
+                {"value": pred["postal_code"],
+                 "confidence": pred["confidence"],
+                 "source": "geographic_" + pred["source"]})

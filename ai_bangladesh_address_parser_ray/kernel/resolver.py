@@ -33,6 +33,7 @@ SOURCE_WEIGHTS = {
     "inferred_from_area": 0.80,
     "inferred_from_district": 0.80,
     "geographic_inferred_from_area": 0.80,
+    "geographic_inferred_from_upazila": 0.80,
     "geographic_inferred_from_union": 0.80,
     "geographic_inferred_from_district": 0.80,
     "unvalidated": 0.60,

@@ -50,6 +50,9 @@ class LinkageConfig:
     block_window: int = 8        # sorted-neighborhood window beyond the cap
     score_threshold: float = 0.85
     max_uf_rounds: int = 16
+    # cluster-table row limit below which the final join-back is a
+    # broadcast map-side join instead of a hash shuffle
+    join_broadcast_limit: int = 2_000_000
     dedup_exact: object = "local"     # "local" | "shuffle" | True | False
     checkpoint_dir: Optional[str] = None
     thresholds: Optional[dict] = None
@@ -65,6 +68,63 @@ class LinkageConfig:
         if out.num_partitions is None:
             out.num_partitions = max(4, min(cpus, 32))
         return out
+
+
+def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int):
+    """Label every turn with its cluster_id; unlabeled turns (no edges) are
+    singletons labeled with their own node_id. Broadcast map-side join when
+    the cluster table is small, hash-shuffle join otherwise."""
+    import ray
+
+    if clusters.count() <= broadcast_limit:
+        import numpy as np
+        import pandas as pd
+
+        tbl = pa.concat_tables(
+            [b for b in clusters.iter_batches(batch_format="pyarrow")],
+            promote_options="default") if clusters.count() else None
+        if tbl is None or tbl.num_rows == 0:
+            idx_ref = None
+        else:
+            idx_ref = ray.put((
+                pd.Index(tbl["node_id"].to_numpy(zero_copy_only=False)),
+                tbl["cluster_id"].to_numpy(zero_copy_only=False)))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            node = batch["node_id"].to_numpy(zero_copy_only=False)
+            if idx_ref is None:
+                lab = node
+            else:
+                idx, cluster_ids = ray.get(idx_ref)
+                pos = idx.get_indexer(node)
+                lab = np.where(pos >= 0, cluster_ids[pos.clip(min=0)], node)
+            return batch.append_column("cluster_id",
+                                       pa.array(lab, pa.string()))
+
+        return extracted.map_batches(_attach, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    def _add_node_h(batch: pa.Table) -> pa.Table:
+        from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
+        return (batch
+                .append_column("node_h",
+                               _hash64(batch["node_id"], HASH_SEED_LO))
+                .append_column("node_h2",
+                               _hash64(batch["node_id"], HASH_SEED_HI)))
+
+    clusters_h = clusters.map_batches(
+        _add_node_h, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["node_id"])
+
+    return extracted.join(
+        clusters_h, join_type="left_outer",
+        num_partitions=cfg.num_partitions, on=("node_h", "node_h2"),
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("cluster_id"), "cluster_id",
+            pc.fill_null(b["cluster_id"], b["node_id"])),
+        batch_format="pyarrow",
+    )
 
 
 def _has_any_component(batch: pa.Table) -> pa.Table:
@@ -190,30 +250,14 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     metrics["unionfind"].update(_uf_info)
 
     # ---- phase 5: label every turn; nodes outside any edge are singletons.
-    # Join on the 128-bit node hash (carried since normalize) — a 16-byte
-    # shuffle key instead of the long node_id string, collision-safe at the
-    # 10^12-turn design point.
-    def _add_node_h(batch: pa.Table) -> pa.Table:
-        from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
-        return (batch
-                .append_column("node_h",
-                               _hash64(batch["node_id"], HASH_SEED_LO))
-                .append_column("node_h2",
-                               _hash64(batch["node_id"], HASH_SEED_HI)))
-
-    clusters_h = clusters.map_batches(
-        _add_node_h, batch_format="pyarrow", zero_copy_batch=True
-    ).drop_columns(["node_id"])
-
-    turns = extracted.join(
-        clusters_h, join_type="left_outer",
-        num_partitions=cfg.num_partitions, on=("node_h", "node_h2"),
-    ).map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("cluster_id"), "cluster_id",
-            pc.fill_null(b["cluster_id"], b["node_id"])),
-        batch_format="pyarrow",
-    )
+    # The cluster table is mention-scale; when it fits a worker's heap the
+    # join-back is a BROADCAST map-side join (ray.put the node->cluster
+    # index once, vectorized get_indexer per batch, ZERO shuffle — the
+    # turn table streams straight through). Above the limit it falls back
+    # to the hash-shuffle join on the 128-bit node hash (16-byte key,
+    # collision-safe at the 10^12-turn design point).
+    turns = _join_clusters_back(extracted, clusters, cfg,
+                                broadcast_limit=cfg.join_broadcast_limit)
 
     # the join-back is lazy (streams when the caller consumes `turns`), so
     # its wall time belongs to the consumer; record the plan boundary only

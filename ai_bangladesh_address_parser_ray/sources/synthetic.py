@@ -35,6 +35,11 @@ from typing import Dict, List, Tuple
 import pyarrow as pa
 
 from ..kernel.gazetteer import AREAS, area_display
+from ..kernel.geo import UPAZILAS
+
+# bump when the generator's output changes for the same args: cached synth
+# dirs from an older generator are regenerated, never silently reused
+_GEN_VERSION = 3
 
 _BN_DIGITS = {"0": "০", "1": "১", "2": "২", "3": "৩", "4": "৪",
               "5": "৫", "6": "৬", "7": "৭", "8": "৮", "9": "৯"}
@@ -96,17 +101,30 @@ def _zipf_choice(rng: random.Random, items: List, a: float = 1.2,
     return rng.choices(items, cum_weights=cum_weights, k=1)[0]
 
 
-def generate_entities(n_entities: int, seed: int = 42) -> List[Dict[str, str]]:
-    """K gold entities with Zipf-skewed areas; unique road per area."""
+def generate_entities(n_entities: int, seed: int = 42,
+                      upazila_fraction: float = 0.15) -> List[Dict[str, str]]:
+    """K gold entities with Zipf-skewed areas; unique road per area.
+
+    ``upazila_fraction`` of entities live in geo-hierarchy upazilas (e.g.
+    Savar) instead of gazetteer city areas: their area is absent from the
+    gazetteer dim, so extraction must recover district/division/postal via
+    the stage-7 geographic engine — the corpus exercises that path
+    end-to-end under the F1 gate."""
     rng = random.Random(seed)
     areas = sorted(AREAS)  # deterministic rank order for the Zipf skew
     area_cum = _zipf_cum_weights(len(areas))
+    upazilas = sorted(UPAZILAS)
     road_counter: Dict[str, int] = {}
     house_pool: Dict[str, List[int]] = {}
     entities = []
     for i in range(n_entities):
-        area = _zipf_choice(rng, areas, cum_weights=area_cum)
-        district, division, codes = AREAS[area]
+        if rng.random() < upazila_fraction:
+            area = rng.choice(upazilas)
+            district, division, code = UPAZILAS[area]
+            codes = [code]
+        else:
+            area = _zipf_choice(rng, areas, cum_weights=area_cum)
+            district, division, codes = AREAS[area]
         road_counter[area] = road_counter.get(area, 0) + 1
         road = str(road_counter[area])  # unique per area => separability
         if not house_pool.get(area):
@@ -143,7 +161,7 @@ def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str
         extras.append(f"Block {ent['block_number']}")
     prefix = (", ".join(extras) + ", ") if extras else ""
 
-    v = variant % 6
+    v = variant % 8
     if v == 0:      # canonical
         addr = f"{prefix}House {h}, Road {r}, {area}, {district}-{postal}"
     elif v == 1:    # compact
@@ -159,6 +177,14 @@ def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str
         t_area = _TYPO_AREA.get(area.lower(), area.lower())
         t_dist = _TYPO_DISTRICT.get(district, district.lower())
         addr = f"{prefix}Hose {h}, Raod {r}, {t_area}, {t_dist}"
+    elif v == 5:    # Banglish house prefix (Kha-32, Ga/7 ...)
+        bp = rng.choice(["Kha", "Ka", "Ga", "Cha", "Kh"])
+        sep = rng.choice(["-", "/", " "])
+        addr = (f"{prefix}{bp}{sep}{h}, Road {r}, {area}, "
+                f"{district}-{postal}")
+    elif v == 6:    # plot / goli forms
+        addr = (f"{prefix}Plot No {h}, {r} No Goli, {area}, "
+                f"{district} {postal}")
     else:           # noisy / building name
         addr = (f'{prefix}"{rng.choice(["Greenhouse", "Dream Tower", "Rose Villa"])}", '
                 f"House No {h}, Road No {r}, {area}, {district}-{postal} "
@@ -193,7 +219,7 @@ def generate_transcripts(
             tool = rng.choice(_TOOLS) if role == "tool" else ""
             if rng.random() < mention_fraction:
                 ent = _zipf_choice(rng, entities, cum_weights=ent_cum)
-                text = render_mention(ent, rng.randint(0, 5), rng)
+                text = render_mention(ent, rng.randint(0, 7), rng)
                 m_conv.append(conv_id)
                 m_turn.append(ti)
                 m_ent.append(ent["entity_id"])
@@ -267,8 +293,13 @@ def write_transcript_tables(out_dir: str, seed: int = 42,
     import pyarrow.parquet as pq
 
     marker = os.path.join(out_dir, "_COMPLETE")
+    stamp = f"v{_GEN_VERSION}"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return out_dir
+        import shutil
+        shutil.rmtree(out_dir)   # stale generator version: rebuild
     os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
     transcripts, mentions, entities = generate_transcripts(seed=seed, **params)
     # shard by conv hash: one file per shard = the partition unit the
@@ -284,5 +315,5 @@ def write_transcript_tables(out_dir: str, seed: int = 42,
     pq.write_table(mentions, os.path.join(out_dir, "mentions.parquet"))
     pq.write_table(entities, os.path.join(out_dir, "entities.parquet"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out_dir

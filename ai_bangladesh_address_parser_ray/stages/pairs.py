@@ -71,8 +71,12 @@ def _group_pair_indices(n: int, offset: int, cap: int, window: int,
 
 def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     """All groups of one hash bucket -> one candidate-pair DataFrame."""
+    # sort for the oversized-block neighborhood window: ROAD first — within
+    # an area block, road is the per-entity discriminator, so one entity's
+    # surface variants (whose house strings can differ wildly, e.g.
+    # "Kha-1985/A" vs "1985/A") stay adjacent and the window finds them
     df = (df.drop_duplicates(["block_key", "node_id"])
-            .sort_values(["block_key", "house_number", "road", "node_id"],
+            .sort_values(["block_key", "road", "house_number", "node_id"],
                          kind="mergesort")
             .reset_index(drop=True))
     if len(df) < 2:

@@ -68,6 +68,36 @@ def format_stage(ds, style: str = "full", separator: str = ", ",
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def geo_validate_stage(ds):
+    """Stage: geographic consistency + hierarchy enrichment per turn
+    (reference ``geographic_validator.py:37-169`` surfaced as columns).
+
+    Adds ``geo_valid`` (hierarchy-consistent), ``geo_conflicts`` (count),
+    and ``geo_upazila`` (reverse postal->upazila lookup, "" if unknown).
+    The GeoHierarchy dim builds once per worker process (module cache in
+    kernel.geo) — the broadcast-small-side pattern."""
+    def _f(batch: pa.Table) -> pa.Table:
+        from ..kernel.geo import default_geo
+        geo = default_geo()
+        valid, nconf, upz = [], [], []
+        for row in batch.select(
+                ["area", "district", "division", "postal_code"]).to_pylist():
+            v = geo.validate_location(
+                area=row.get("area") or None,
+                district=row.get("district") or None,
+                division=row.get("division") or None,
+                postal_code=row.get("postal_code") or None)
+            valid.append(v["valid"])
+            nconf.append(len(v["conflicts"]))
+            h = geo.get_full_hierarchy(row.get("postal_code") or "")
+            upz.append(h["upazila"] if h else "")
+        return (batch
+                .append_column("geo_valid", pa.array(valid, pa.bool_()))
+                .append_column("geo_conflicts", pa.array(nconf, pa.int32()))
+                .append_column("geo_upazila", pa.array(upz, pa.string())))
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def district_distribution(extracted, k: int = 10):
     """A1's top-10 district histogram over rows that extracted a district."""
     from ..functions.stats import top_k_by_count

@@ -46,10 +46,16 @@ def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         ne = both & ~eq
         if ne.any():
             if f in _IDENTIFIER_FIELDS:
-                is_id_l = (ls.str.len().le(6)
-                           & ls.str.contains(r"\d", regex=True)).to_numpy()
-                is_id_r = (rs.str.len().le(6)
-                           & rs.str.contains(r"\d", regex=True)).to_numpy()
+                # vectorized twin of kernel _is_identifier: any digits AND
+                # (short OR digit-dominant among alphanumerics)
+                nd_l = ls.str.count(r"\d").to_numpy()
+                nd_r = rs.str.count(r"\d").to_numpy()
+                an_l = ls.str.count(r"[0-9a-zA-Z]").to_numpy()
+                an_r = rs.str.count(r"[0-9a-zA-Z]").to_numpy()
+                is_id_l = (nd_l > 0) & ((ls.str.len().le(6).to_numpy())
+                                        | (nd_l * 2 >= an_l))
+                is_id_r = (nd_r > 0) & ((rs.str.len().le(6).to_numpy())
+                                        | (nd_r * 2 >= an_r))
                 id_exact = ne & (is_id_l | is_id_r)
                 sims[i, id_exact] = 0.0
                 slow_mask |= ne & ~id_exact

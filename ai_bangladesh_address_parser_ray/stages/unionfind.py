@@ -74,10 +74,17 @@ def connected_components(edges, num_partitions: int = 32,
                   {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     import os as _os
     import time as _time
+    _dbg = _os.environ.get("GRAFT_UF_DEBUG")
     _t = _time.time()
+
+    def _mark(tag):
+        nonlocal _t
+        if _dbg:
+            print(f"UF {tag}: {_time.time() - _t:.1f}s", flush=True)
+        _t = _time.time()
+
     sym = fwd.union(rev).materialize()
-    if _os.environ.get("GRAFT_UF_DEBUG"):
-        print(f"UF sym_materialize: {_time.time() - _t:.1f}s", flush=True)
+    _mark("sym_materialize")
 
     # Strategy gate on the NODE count, not the edge count: the broadcast
     # path's footprint is the label vector (nodes), and multi-edges from
@@ -88,8 +95,11 @@ def connected_components(edges, num_partitions: int = 32,
     # nothing when broadcast wins. Only when even the edge table is far
     # beyond reach (> 32x limit rows) do we skip the count and go straight
     # to the fully-distributed hash-join rounds.
-    if sym.count() <= 32 * broadcast_limit:
+    n_sym = sym.count()
+    _mark(f"count_gate ({n_sym} edges)")
+    if n_sym <= 32 * broadcast_limit:
         nodes = _collect_universe(sym)
+        _mark(f"collect_universe ({len(nodes)} nodes)")
         if len(nodes) <= broadcast_limit:
             return _broadcast_components(sym, max_rounds, nodes=nodes)
 
@@ -190,26 +200,40 @@ def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
 
 def _collect_universe(sym):
     """Distinct node ids of the symmetric edge table, sorted: per-block
-    partial uniques (numpy, inside map tasks) then a driver-side hash-based
-    merge — the shuffle-free analog of groupby().count() for a set that
-    must land on the driver anyway. Returns a sorted np.ndarray (possibly
-    empty)."""
+    partial uniques in leaf tasks, hash-based merge in a TREE of tasks
+    (arity 8) — the driver only ray.gets the single root result, never
+    iterates blocks. Returns a sorted np.ndarray (possibly empty)."""
     import numpy as np
-    import pandas as pd
+    import ray
 
-    def _uniq(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
-        return pa.table({"src": pa.array(u, pa.string())})
+    @ray.remote(num_cpus=1)
+    def _leaf(*blocks: pa.Table) -> np.ndarray:
+        import pandas as pd
+        return pd.unique(np.concatenate(
+            [b["src"].to_numpy(zero_copy_only=False) for b in blocks]))
 
-    chunks = [b["src"].to_numpy(zero_copy_only=False)
-              for b in sym.select_columns(["src"]).map_batches(
-                  _uniq, batch_format="pyarrow",
-                  zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
-    if not chunks:
+    @ray.remote(num_cpus=1)
+    def _merge(*parts: np.ndarray) -> np.ndarray:
+        import pandas as pd
+        return pd.unique(np.concatenate(parts))
+
+    block_refs = sym.to_arrow_refs()
+    if not block_refs:
         return np.array([], dtype=object)
+    # one leaf task per ~CPU, each eating a chunk of blocks: per-task
+    # scheduling overhead stays constant as the block count grows
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    chunk = max(1, (len(block_refs) + cpus - 1) // cpus)
+    refs = [_leaf.remote(*block_refs[i:i + chunk])
+            for i in range(0, len(block_refs), chunk)]
+    ARITY = 8
+    while len(refs) > 1:
+        refs = [_merge.remote(*refs[i:i + ARITY])
+                for i in range(0, len(refs), ARITY)]
+    out = ray.get(refs[0])
     # hash-based unique (C) then sort the small distinct set — np.unique on
     # millions of object strings is a python-compare sort
-    return np.sort(pd.unique(np.concatenate(chunks)))
+    return np.sort(out)
 
 
 def _broadcast_components(sym, max_rounds: int, nodes=None):

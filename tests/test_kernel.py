@@ -104,6 +104,64 @@ class TestExtractors:
         assert c["area"] == "Mirpur"
         assert c["district"] == "Dhaka"
 
+    def test_banglish_house_prefixes(self):
+        """Reference house_number_processor.py:131-137 Banglish forms."""
+        for text, want in [
+            ("Kha/50, Road 3, Mirpur, Dhaka", "Kha/50"),
+            ("Kha-32/1, Mirpur, Dhaka-1216", "Kha-32/1"),
+            ("CHO 55/A, Banani, Dhaka", "CHO 55/A"),
+            ("Ga/7, Road 2, Uttara, Dhaka", "Ga/7"),
+        ]:
+            c = extract(text)["components"]
+            assert c["house_number"].lower() == want.lower(), text
+
+    def test_plot_building_holding(self):
+        for text, want in [
+            ("Plot No. 8, Gulshan, Dhaka", "8"),
+            ("Plot-62, Tejgaon, Dhaka", "62"),
+            ("Building 9, Uttara, Dhaka", "9"),
+            ("Holding No: 228/B, Khilgaon, Dhaka", "228/B"),
+        ]:
+            assert extract(text)["components"]["house_number"] == want, text
+
+    def test_house_ranges_and_at(self):
+        assert extract("House 8+9, Road 2, Banani")["components"][
+            "house_number"] == "8+9"
+        assert extract("House 98-99, Tejgaon, Dhaka")["components"][
+            "house_number"] == "98-99"
+        assert extract("H@45, Road 7, Mirpur")["components"][
+            "house_number"] == "45"
+
+    def test_h_hash_letter_prefix(self):
+        # "H# CB 11/12" normalizes to "H No CB 11/12"
+        c = extract("H# CB 11/12, Agrabad, Chattogram")["components"]
+        assert c["house_number"] == "CB 11/12"
+
+    def test_road_goli_guard(self):
+        """'2 No Road' names a road, never a house (reference
+        _is_road_goli_number, house_number_processor.py:404-447)."""
+        c = extract("2 No Road, Gulshan, Dhaka")["components"]
+        assert c["house_number"] == ""
+        assert c["road"] == "2"
+        c2 = extract("6 No Goli, Khilgaon, Dhaka")["components"]
+        assert c2["house_number"] == ""
+        assert c2["road"] == "6"
+
+    def test_institutional_guard(self):
+        c = extract("Dhaka Medical College Hospital Ward 12, Dhaka")[
+            "components"]
+        assert c["house_number"] == ""
+
+    def test_phone_not_house(self):
+        c = extract("Call 01712345678 for delivery to Banani")["components"]
+        assert c["house_number"] == ""
+
+    def test_bangla_goli_becomes_lane(self):
+        # রোড/লেন/গলি road forms arrive post-normalization as Road/Lane
+        c = extract("বাড়ি ১২, গলি ৩, মিরপুর, ঢাকা")["components"]
+        assert c["house_number"] == "12"
+        assert c["road"] == "3"
+
     def test_fuzzy_area_variant(self):
         c = extract("105/A, Central Road, gulisthan, Dhaka")["components"]
         assert c["area"] == "Gulshan"

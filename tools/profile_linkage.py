@@ -70,18 +70,10 @@ def main():
     t["6_uf"] = time.time() - t0
 
     t0 = time.time()
-    clusters_h = clusters.map_batches(
-        lambda b: (b.append_column("node_h", _hash64(b["node_id"], 0))
-                    .append_column("node_h2", _hash64(b["node_id"], 1))),
-        batch_format="pyarrow").drop_columns(["node_id"])
-    turns = extracted.join(clusters_h, join_type="left_outer",
-                           num_partitions=cfg.num_partitions,
-                           on=("node_h", "node_h2"))
-    turns = turns.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("cluster_id"),
-                               "cluster_id",
-                               pc.fill_null(b["cluster_id"], b["node_id"])),
-        batch_format="pyarrow")
+    from ai_bangladesh_address_parser_ray.pipelines.linkage import (
+        _join_clusters_back)
+    turns = _join_clusters_back(extracted, clusters, cfg,
+                                broadcast_limit=cfg.join_broadcast_limit)
     rows = 0
     for b in turns.select_columns(["cluster_id"]).iter_batches(
             batch_format="pyarrow"):
