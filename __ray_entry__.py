@@ -247,6 +247,18 @@ def _q_corpus_stats(sf_dir):
     return corpus_statistics(_extracted(sf_dir))
 
 
+def _q_area_distribution(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        area_distribution)
+    return area_distribution(_extracted(sf_dir), k=20)
+
+
+def _q_division_distribution(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        division_distribution)
+    return division_distribution(_extracted(sf_dir), k=8)
+
+
 _SUGGEST_QUERIES = ["gulsh", "dhanmond", "mirp", "uttora", "banani",
                     "mohammadpur", "agra", "hali"]
 
@@ -295,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_turns": _q_validate_turns,
         "format_turns": _q_format_turns,
         "district_distribution": _q_district_distribution,
+        "area_distribution": _q_area_distribution,
+        "division_distribution": _q_division_distribution,
         "corpus_stats": _q_corpus_stats,
         "suggest_areas_topk": _q_suggest,
         "compare_adjacent_mentions": _q_compare_adjacent,

@@ -1,0 +1,101 @@
+"""User CLI (reference S3: ``production_address_extractor.py --demo /
+--batch / --address``, :1260-1285 — re-expressed over Ray Data).
+
+    python -m ai_bangladesh_address_parser_ray --address "House 12, ..."
+    python -m ai_bangladesh_address_parser_ray --batch in.parquet out_dir/
+    python -m ai_bangladesh_address_parser_ray --linkage transcripts_dir out/
+    python -m ai_bangladesh_address_parser_ray --demo
+
+--address runs the kernel in-process (no cluster needed). --batch expects a
+parquet with a ``text`` column and writes partitioned parquet with the 9
+component columns. --linkage expects the transcript schema and writes
+per-turn cluster assignments. Owns its Ray session (the only library-side
+ray.init, guarded), per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+DEMO_ADDRESSES = [
+    "House 12, Road 5, Dhanmondi, Dhaka-1209",
+    "H-৭, রোড ৩, মিরপুর, ঢাকা",
+    "Kha/50, Gulshan, Dhaka",
+    "Plot No 8, Savar, Dhaka",
+    "Flat B2, 3rd floor, House 7, Banani, Dhaka-1213",
+]
+
+
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 log_to_driver=False)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_address(text: str, detailed: bool) -> int:
+    from .kernel.extract import extract
+    print(json.dumps(extract(text, detailed=detailed), ensure_ascii=False,
+                     indent=2, default=str))
+    return 0
+
+
+def cmd_demo() -> int:
+    for a in DEMO_ADDRESSES:
+        cmd_address(a, detailed=False)
+    return 0
+
+
+def cmd_batch(in_path: str, out_dir: str, detailed: bool) -> int:
+    _init_ray()
+    import ray
+    from .stages.extract import extract_stage
+    ds = ray.data.read_parquet(in_path)
+    ds = extract_stage(ds, text_column="text", detailed=detailed)
+    ds.write_parquet(out_dir)
+    print(f"wrote extracted batch to {out_dir}", file=sys.stderr)
+    return 0
+
+
+def cmd_linkage(in_dir: str, out_dir: str, checkpoint: str | None) -> int:
+    _init_ray()
+    import ray
+    from .pipelines.linkage import LinkageConfig, run_linkage
+    ds = ray.data.read_parquet(in_dir)
+    cfg = LinkageConfig(checkpoint_dir=checkpoint)
+    out = run_linkage(ds, cfg, input_token=in_dir)
+    out["turns"].write_parquet(out_dir)
+    print(json.dumps({"metrics": out["metrics"]}, default=str),
+          file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ai_bangladesh_address_parser_ray")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--address", help="extract one address string")
+    g.add_argument("--demo", action="store_true")
+    g.add_argument("--batch", nargs=2, metavar=("IN_PARQUET", "OUT_DIR"))
+    g.add_argument("--linkage", nargs=2, metavar=("IN_DIR", "OUT_DIR"))
+    p.add_argument("--detailed", action="store_true",
+                   help="include debug evidence metadata")
+    p.add_argument("--checkpoint-dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.address:
+        return cmd_address(args.address, args.detailed)
+    if args.demo:
+        return cmd_demo()
+    if args.batch:
+        return cmd_batch(args.batch[0], args.batch[1], args.detailed)
+    return cmd_linkage(args.linkage[0], args.linkage[1],
+                       args.checkpoint_dir)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

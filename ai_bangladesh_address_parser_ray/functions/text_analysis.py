@@ -122,17 +122,74 @@ def lang_id_one(text: str) -> tuple:
     return best_lang, round(best, 6)
 
 
+def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Vectorized twin of :func:`lang_id_one` (tests assert element-wise
+    equality): Arrow regex kernels for the script ratios, list-flatten +
+    is_in + bincount for the stopword votes — no Python per row."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    n = len(t)
+    cjk = pc.count_substring_regex(t, "[一-鿿]").to_numpy()
+    bn = pc.count_substring_regex(t, "[ঀ-৿]").to_numpy()
+    alpha = np.maximum(
+        pc.count_substring_regex(t, r"\p{L}").to_numpy(), 1)
+    empty = pc.equal(pc.utf8_length(t), 0).to_numpy(zero_copy_only=False)
+
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(t))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    n_toks = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    # utf8_split_whitespace emits "" fragments for leading/trailing blanks;
+    # the scalar path's str.split() does not — drop them from both counts
+    nonempty_tok = pc.greater(pc.utf8_length(flat), 0) \
+        .to_numpy(zero_copy_only=False)
+    n_toks = np.bincount(parent[nonempty_tok], minlength=n)
+
+    langs_sorted = [l for l in sorted(LANG_PROFILES) if LANG_PROFILES[l]]
+    fracs = np.zeros((len(langs_sorted), n))
+    denom = np.maximum(n_toks, 1)
+    for i, lang in enumerate(langs_sorted):
+        mask = pc.is_in(flat, value_set=pa.array(
+            sorted(LANG_PROFILES[lang]))).to_numpy(zero_copy_only=False)
+        mask &= nonempty_tok
+        hits = np.bincount(parent[mask], minlength=n)
+        fracs[i] = hits / denom
+
+    best_i = np.argmax(fracs, axis=0)      # first max == lexicographic tie
+    best = fracs[best_i, np.arange(n)]
+    lang_arr = np.array(langs_sorted, dtype=object)[best_i]
+    score = np.round(best, 6)
+    # latin-script default when no stopword hit
+    lang_arr = np.where(best == 0.0, "en", lang_arr)
+    score = np.where(best == 0.0, 0.0, score)
+    # no tokens at all -> und
+    und = n_toks == 0
+    lang_arr = np.where(und, "und", lang_arr)
+    score = np.where(und, 0.0, score)
+    # script overrides (checked before stopwords in the scalar path)
+    bn_ratio = bn / alpha
+    cjk_ratio = cjk / alpha
+    bn_hit = ~empty & (bn_ratio > 0.3)
+    cjk_hit = ~empty & (cjk_ratio > 0.3)
+    lang_arr = np.where(bn_hit, "bn", lang_arr)
+    score = np.where(bn_hit, np.round(bn_ratio, 6), score)
+    lang_arr = np.where(cjk_hit, "zh", lang_arr)
+    score = np.where(cjk_hit, np.round(cjk_ratio, 6), score)
+    lang_arr = np.where(empty, "und", lang_arr)
+    score = np.where(empty, 0.0, score)
+    return pa.table({
+        id_col: batch[id_col],
+        "lang_pred": pa.array(lang_arr, pa.string()),
+        "lang_score": pa.array(score, pa.float64()),
+    })
+
+
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
-    def _f(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        langs, scores = zip(*(lang_id_one(t or "") for t in texts)) \
-            if len(texts) else ((), ())
-        return pa.table({
-            id_col: batch[id_col],
-            "lang_pred": pa.array(list(langs), pa.string()),
-            "lang_score": pa.array(list(scores), pa.float64()),
-        })
-    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _lang_id_batch, fn_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",

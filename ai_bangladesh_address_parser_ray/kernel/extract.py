@@ -46,6 +46,41 @@ _STAGE_DEFAULTS = {"fsm": True, "regex": True, "ner": True,
                    "gazetteer": True, "geo": True}
 
 
+def _build_prescreen():
+    """Necessary-condition gate for ANY evidence, part of the kernel SPEC
+    (both the oracle and every distributed path run it, so they agree by
+    construction): a text with no digit, no Bangla codepoint, and none of
+    the known location / address-keyword / typo-variant tokens cannot
+    produce evidence, so stages 3-8 are skipped. On corpora where most
+    turns are not addresses (the realistic transcript mix) this removes
+    the dominant share of kernel work from the hottest stage."""
+    import re as _re
+    from .gazetteer import (AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION,
+                            DIVISIONS)
+    from .geo import POST_OFFICES, UNIONS, UPAZILAS, VILLAGES
+    from .normalizer import CORRECTIONS
+
+    names = (set(AREAS) | set(AREA_VARIANTS) | set(DISTRICT_TO_DIVISION)
+             | {d.lower() for d in DIVISIONS} | set(UPAZILAS) | set(UNIONS)
+             | set(VILLAGES) | set(POST_OFFICES)
+             | {w for w, _ in CORRECTIONS})
+    keywords = {
+        "house", "home", "hous", "bari", "basa", "basha", "road", "rd",
+        "lane", "goli", "avenue", "street", "sarani", "sarak", "flat",
+        "floor", "level", "block", "sector", "plot", "holding", "building",
+        "bldg", "apartment", "district", "division", "post", "zip",
+        "bangladesh",
+    }
+    alts = sorted(names | keywords, key=lambda s: (-len(s), s))
+    pat = "[0-9০-৯]|[ঀ-৿]|" + "|".join(_re.escape(a) for a in alts)
+    return _re.compile(pat, _re.I)
+
+
+PRESCREEN_RE = _build_prescreen()
+
+_EMPTY_COMPONENTS = {f: "" for f in COMPONENT_FIELDS}
+
+
 class ExtractionKernel:
     """Configurable kernel; one instance per extraction actor.
 
@@ -64,7 +99,7 @@ class ExtractionKernel:
 
     def __init__(self, thresholds: Optional[Dict[str, float]] = None,
                  stages: Optional[Dict[str, bool]] = None,
-                 ner_model=None, geo=None):
+                 ner_model=None, geo=None, gazetteer=None):
         self.thresholds = dict(DEFAULT_THRESHOLDS)
         if thresholds:
             self.thresholds.update(thresholds)
@@ -74,8 +109,31 @@ class ExtractionKernel:
         self.ner_model = ner_model
         from .geo import default_geo
         self.geo = geo or default_geo()
+        # injectable stage-6 dim (reference `data_path` surface); None ->
+        # module fixture instance
+        self.gazetteer = gazetteer
 
     def extract(self, text: str, detailed: bool = False) -> Dict:
+        if not PRESCREEN_RE.search(text):
+            # gate: no digit / Bangla / location / keyword token anywhere —
+            # stages 3-8 cannot produce evidence (see _build_prescreen)
+            out = {
+                "components": dict(_EMPTY_COMPONENTS),
+                "overall_confidence": 0.0,
+                "normalized_address": normalize(text),
+                "original_address": text,
+            }
+            if detailed:
+                from .extractors import extract_country
+                cval, cconf = extract_country(out["normalized_address"])
+                out["metadata"] = {
+                    "script": detect_script(text),
+                    "component_details": {f: None for f in COMPONENT_FIELDS},
+                    "enabled_stages": dict(self.stages),
+                    "country": {"value": cval, "confidence": cconf},
+                }
+            return out
+
         script = detect_script(text)            # stage 1
         norm = normalize(text)                  # stage 2
 
@@ -108,14 +166,14 @@ class ExtractionKernel:
                 # fuzzy back-extraction (reference gazetteer.py:321-377)
                 for tok in norm.replace(",", " ").split():
                     if len(tok) >= 5 and tok.isalpha():
-                        hit = fuzzy_match_area(tok)
+                        hit = fuzzy_match_area(tok, self.gazetteer)
                         if hit:
                             evidence["area"].append(
                                 {"value": area_display(hit),
                                  "confidence": 0.75,
                                  "source": "gazetteer_corrected"})
                             break
-            validate_and_enrich(evidence)
+            validate_and_enrich(evidence, self.gazetteer)
 
         if self.stages["geo"]:                  # stage 7
             from .geo import geo_enrich
@@ -137,10 +195,14 @@ class ExtractionKernel:
             "original_address": text,
         }
         if detailed:
+            from .extractors import extract_country
+            cval, cconf = extract_country(norm)
             out["metadata"] = {
                 "script": script,
                 "component_details": resolved,
                 "enabled_stages": dict(self.stages),
+                # CityResult.country parity (district_processor.py:177-212)
+                "country": {"value": cval, "confidence": cconf},
             }
         return out
 

@@ -177,6 +177,37 @@ def extract_division(text: str) -> Hit:
     return None
 
 
+# -------------------------------------------------------------- country
+# CityResult.country parity (reference district_processor.py:177-212):
+# explicit mention -> position-scaled confidence; default Bangladesh 0.95
+_COUNTRY_VARIANTS = [
+    ("Bangladesh", ["bangladesh", "bd", "b.d.", "b.d", "bdesh", "বাংলাদেশ"]),
+    ("India", ["india", "ভারত"]),
+    ("Pakistan", ["pakistan", "পাকিস্তান"]),
+    ("Myanmar", ["myanmar", "burma"]),
+    ("Nepal", ["nepal", "নেপাল"]),
+    ("Bhutan", ["bhutan"]),
+    ("Sri Lanka", ["sri lanka", "srilanka", "ceylon"]),
+]
+
+
+def extract_country(text: str) -> Tuple[str, float]:
+    """Always returns a value (the reference defaults to Bangladesh 0.95)."""
+    if not text:
+        return "Bangladesh", 0.95
+    low = text.lower()
+    for country, variations in _COUNTRY_VARIANTS:
+        for v in variations:
+            if re.search(rf"\b{re.escape(v)}\b", low):
+                if low.endswith(v) or low.endswith(v + "."):
+                    return country, 1.00
+                segs = text.split(",")
+                if segs and v in segs[-1].lower():
+                    return country, 0.98
+                return country, 0.90
+    return "Bangladesh", 0.95
+
+
 # --------------------------------------------------------------- postal
 _POSTAL_EXPLICIT = re.compile(
     r"\b(?:Post\s*Code|Postal\s*Code|Post|P\.?O\.?|Zip)\s*-?\s*(\d{4})\b", re.I

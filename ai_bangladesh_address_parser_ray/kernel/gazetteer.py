@@ -80,24 +80,116 @@ for _a, (_d, _v, _codes) in AREAS.items():
         POSTAL_TO_AREAS.setdefault(_c, []).append(_a)
 
 
+class Gazetteer:
+    """Injectable gazetteer dim (reference ``data_path`` ctor surface,
+    ``src/core/extractor.py:81``): areas + district->division maps, either
+    the module fixture (default) or built from a labels table via
+    :func:`build_from_labels`. The module-level functions below delegate to
+    the default instance for back-compat."""
+
+    def __init__(self, areas: Dict[str, tuple] = None,
+                 district_to_division: Dict[str, str] = None):
+        self.areas = dict(AREAS if areas is None else areas)
+        self.district_to_division = dict(
+            DISTRICT_TO_DIVISION if district_to_division is None
+            else district_to_division)
+        self.postal_to_areas: Dict[str, List[str]] = {}
+        for a, (_d, _v, codes) in self.areas.items():
+            for c in codes:
+                self.postal_to_areas.setdefault(c, []).append(a)
+
+    def lookup_area(self, area: str) -> Optional[dict]:
+        rec = self.areas.get(area.strip().lower())
+        if rec is None:
+            return None
+        district, division, codes = rec
+        return {"district": district, "division": division,
+                "postal_codes": codes}
+
+    def district_division(self, district: str) -> Optional[str]:
+        return self.district_to_division.get(district.strip().lower())
+
+
+_DEFAULT = Gazetteer()
+
+
+def build_from_labels(rows: List[dict]) -> "Gazetteer":
+    """Build a Gazetteer dim from labeled rows
+    ``{area, district, division, postal_code}`` — the reference's
+    ``Gazetteer._build_from_data`` agg (``gazetteer.py:58-128``): per area,
+    the MODE district/division (ties -> lexicographically smallest, so the
+    build is deterministic) and postal codes sorted by frequency desc then
+    code asc. Driver-side finalize over pre-aggregated counts: see
+    ``functions.gazetteer_build.build_gazetteer`` for the distributed
+    count pass."""
+    from collections import Counter, defaultdict
+
+    dist_votes: Dict[str, Counter] = defaultdict(Counter)
+    div_votes: Dict[str, Counter] = defaultdict(Counter)
+    postal_votes: Dict[str, Counter] = defaultdict(Counter)
+    d2v_votes: Dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        area = (r.get("area") or "").strip().lower()
+        if not area:
+            continue
+        n = int(r.get("n", 1))
+        district = (r.get("district") or "").strip()
+        division = (r.get("division") or "").strip()
+        postal = (r.get("postal_code") or "").strip()
+        if district:
+            dist_votes[area][district] += n
+            if division:
+                d2v_votes[district.lower()][division] += n
+        if division:
+            div_votes[area][division] += n
+        if postal:
+            postal_votes[area][postal] += n
+
+    def _mode(c: "Counter") -> str:
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0] \
+            if c else ""
+
+    areas = {}
+    for area in dist_votes.keys() | div_votes.keys() | postal_votes.keys():
+        codes = [c for c, _ in sorted(postal_votes[area].items(),
+                                      key=lambda kv: (-kv[1], kv[0]))]
+        areas[area] = (_mode(dist_votes[area]), _mode(div_votes[area]),
+                       codes)
+    d2v = {d: _mode(c) for d, c in d2v_votes.items()}
+    return Gazetteer(areas=areas, district_to_division=d2v)
+
+
+def freeze_gazetteer(gaz: "Gazetteer") -> tuple:
+    """Hashable snapshot of a dim — ships through task fn_kwargs and keys
+    the per-worker kernel cache."""
+    areas = tuple(sorted(
+        (a, d, v, tuple(codes)) for a, (d, v, codes) in gaz.areas.items()))
+    d2v = tuple(sorted(gaz.district_to_division.items()))
+    return (areas, d2v)
+
+
+def thaw_gazetteer(frozen: tuple) -> "Gazetteer":
+    areas_t, d2v_t = frozen
+    return Gazetteer(
+        areas={a: (d, v, list(codes)) for a, d, v, codes in areas_t},
+        district_to_division=dict(d2v_t))
+
+
 def area_display(area_lower: str) -> str:
     return _AREA_DISPLAY.get(area_lower, area_lower.title())
 
 
 def lookup_area(area: str) -> Optional[dict]:
     """area (any case) -> {district, division, postal_codes} or None."""
-    rec = AREAS.get(area.strip().lower())
-    if rec is None:
-        return None
-    district, division, codes = rec
-    return {"district": district, "division": division, "postal_codes": codes}
+    return _DEFAULT.lookup_area(area)
 
 
 def district_division(district: str) -> Optional[str]:
-    return DISTRICT_TO_DIVISION.get(district.strip().lower())
+    return _DEFAULT.district_division(district)
 
 
-def validate_and_enrich(evidence_map: Dict[str, list]) -> None:
+def validate_and_enrich(evidence_map: Dict[str, list],
+                        gaz: Optional["Gazetteer"] = None) -> None:
     """Stage 6-7: gazetteer/geo validation + inference, in place.
 
     Adds Evidence dicts ``{value, confidence, source}`` to ``evidence_map``
@@ -115,6 +207,8 @@ def validate_and_enrich(evidence_map: Dict[str, list]) -> None:
     - district known   -> division autofill (``inferred_from_district`` 0.80)
     """
 
+    gaz = gaz or _DEFAULT
+
     def best(component: str) -> Optional[str]:
         evs = evidence_map.get(component) or []
         if not evs:
@@ -126,7 +220,7 @@ def validate_and_enrich(evidence_map: Dict[str, list]) -> None:
     postal = best("postal_code")
 
     if area:
-        rec = lookup_area(area)
+        rec = gaz.lookup_area(area)
         if rec:
             if district and district.lower() == rec["district"].lower():
                 evidence_map.setdefault("district", []).append(
@@ -152,7 +246,7 @@ def validate_and_enrich(evidence_map: Dict[str, list]) -> None:
                      "source": "inferred_from_area"})
 
     if district:
-        div = district_division(district)
+        div = gaz.district_division(district)
         if div:
             evidence_map.setdefault("division", []).append(
                 {"value": div, "confidence": 0.80,
@@ -174,20 +268,22 @@ AREA_VARIANTS: Dict[str, str] = {
 }
 
 
-def fuzzy_match_area(token: str) -> Optional[str]:
+def fuzzy_match_area(token: str,
+                     gaz: Optional["Gazetteer"] = None) -> Optional[str]:
     """Char-overlap fuzzy area match (reference ``gazetteer.py:321-377``):
     known variant map first, then >=0.70 Jaccard on character sets plus a
     shared 4-char prefix-core. Returns the canonical lowercase area name or
     None. Deterministic: candidates scanned in sorted order, best wins.
     """
+    areas = (gaz or _DEFAULT).areas
     t = token.strip().lower()
     if t in AREA_VARIANTS:
         return AREA_VARIANTS[t]
-    if len(t) < 4 or t in AREAS:
-        return t if t in AREAS else None
+    if len(t) < 4 or t in areas:
+        return t if t in areas else None
     tset = set(t)
     best_name, best_ov = None, 0.0
-    for name in sorted(AREAS):
+    for name in sorted(areas):
         nset = set(name)
         ov = len(tset & nset) / len(tset | nset)
         if ov >= 0.70 and (name[:4] == t[:4] or ov > 0.85):

@@ -4,13 +4,12 @@
      -> normalize (stateless, zero-copy Arrow)
      -> exact dedup on norm_text + extract-once + join back     [SHUFFLE 1]
      -> blocking keys (batch explode; filler rows emit nothing)
-     -> groupby(block_key) pair generation, cap + window        [SHUFFLE 2]
-     -> pair dedup on pair_key                                  [SHUFFLE 2b]
-     -> ensemble scoring -> filter(match) -> edge table
+     -> groupby(block_key) pair generation, cap + window,
+        ensemble scoring FUSED in the group fn -> edge table    [SHUFFLE 2]
      -> iterative min-label propagation to fixed point          [SHUFFLE 3..k]
      -> left-join cluster ids back to turns (singletons label themselves)
 
-Every wide step is keyed (norm_text / block_key / pair_key / node_id) and
+Every wide step is keyed (norm_text / block_key / node_id) and
 each expensive phase is checkpointable via CheckpointManager. Nothing here
 materializes the turn table on the driver OR in the object store: the one
 turn-scale intermediate (the extracted table, consumed by two branches)
@@ -32,7 +31,6 @@ from ..stages.normalize import normalize_stage
 from ..stages.extract import dedup_extract_stage, extract_stage
 from ..stages.blocking import blocking_stage
 from ..stages.pairs import candidate_pairs_stage
-from ..stages.scoring import score_pairs_stage
 from ..stages.unionfind import connected_components
 from ..state.checkpoint import CheckpointManager, fingerprint
 
@@ -57,6 +55,10 @@ class LinkageConfig:
     checkpoint_dir: Optional[str] = None
     thresholds: Optional[dict] = None
     stages: Optional[dict] = None
+    # optional labels parquet (area, district, division, postal_code):
+    # builds the stage-6 gazetteer dim from data (reference `data_path`
+    # surface) instead of the module fixture
+    gazetteer_labels_path: Optional[str] = None
 
     def resolved(self) -> "LinkageConfig":
         import ray
@@ -73,12 +75,20 @@ class LinkageConfig:
 def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int):
     """Label every turn with its cluster_id; unlabeled turns (no edges) are
     singletons labeled with their own node_id. Broadcast map-side join when
-    the cluster table is small, hash-shuffle join otherwise."""
+    the cluster table is small, hash-shuffle join otherwise.
+
+    The broadcast side is (sorted uint64 node-hash, aligned verify-hash,
+    aligned Arrow cluster-id strings) — numpy/Arrow buffers deserialize
+    ZERO-COPY from plasma in every task. A pd.Index of object strings here
+    instead costs seconds of unpickling + hashtable build PER TASK, which
+    measured ~300s over a 4.8M-turn consume. Lookups are
+    np.searchsorted + both-hash verification (the 128-bit key carried since
+    normalize), so a collision cannot silently mislabel a turn."""
     import ray
 
     if clusters.count() <= broadcast_limit:
         import numpy as np
-        import pandas as pd
+        from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
 
         tbl = pa.concat_tables(
             [b for b in clusters.iter_batches(batch_format="pyarrow")],
@@ -86,20 +96,33 @@ def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int):
         if tbl is None or tbl.num_rows == 0:
             idx_ref = None
         else:
+            h = _hash64(tbl["node_id"], HASH_SEED_LO).to_numpy()
+            h2 = _hash64(tbl["node_id"], HASH_SEED_HI).to_numpy()
+            order = np.argsort(h, kind="stable")
             idx_ref = ray.put((
-                pd.Index(tbl["node_id"].to_numpy(zero_copy_only=False)),
-                tbl["cluster_id"].to_numpy(zero_copy_only=False)))
+                np.ascontiguousarray(h[order]),
+                np.ascontiguousarray(h2[order]),
+                tbl["cluster_id"].combine_chunks().take(
+                    pa.array(order, pa.int64())),
+            ))
 
         def _attach(batch: pa.Table) -> pa.Table:
-            node = batch["node_id"].to_numpy(zero_copy_only=False)
+            node_col = batch["node_id"]
+            if isinstance(node_col, pa.ChunkedArray):
+                node_col = node_col.combine_chunks()
             if idx_ref is None:
-                lab = node
-            else:
-                idx, cluster_ids = ray.get(idx_ref)
-                pos = idx.get_indexer(node)
-                lab = np.where(pos >= 0, cluster_ids[pos.clip(min=0)], node)
-            return batch.append_column("cluster_id",
-                                       pa.array(lab, pa.string()))
+                return batch.append_column("cluster_id", node_col)
+            h_sorted, h2_sorted, roots = ray.get(idx_ref)
+            nh = batch["node_h"].to_numpy()
+            nh2 = batch["node_h2"].to_numpy()
+            pos = np.searchsorted(h_sorted, nh)
+            pos_c = np.minimum(pos, len(h_sorted) - 1)
+            hit = (h_sorted[pos_c] == nh) & (h2_sorted[pos_c] == nh2)
+            taken = roots.take(pa.array(pos_c, pa.int64()))
+            lab = pc.if_else(pa.array(hit), taken, node_col)
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            return batch.append_column("cluster_id", lab)
 
         return extracted.map_batches(_attach, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -165,6 +188,14 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     # dedup_exact="local" (default): extract per turn through an
     #   actor-local memo — with this kernel (~0.3 ms/string) the shuffle
     #   and join back cost more than re-extracting the misses.
+    gaz_frozen = None
+    if cfg.gazetteer_labels_path:
+        import ray as _ray
+        from ..functions.gazetteer_build import build_gazetteer
+        from ..kernel.gazetteer import freeze_gazetteer
+        gaz_frozen = freeze_gazetteer(build_gazetteer(
+            _ray.data.read_parquet(cfg.gazetteer_labels_path)))
+
     def compute_extracted():
         ds = normalize_stage(transcripts)
         if cfg.dedup_exact == "shuffle" or cfg.dedup_exact is True:
@@ -172,11 +203,13 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
                 ds, concurrency=cfg.extract_concurrency,
                 batch_size=cfg.extract_batch_size,
                 num_partitions=cfg.num_partitions,
-                thresholds=cfg.thresholds, stages=cfg.stages)
+                thresholds=cfg.thresholds, stages=cfg.stages,
+                gazetteer_frozen=gaz_frozen)
         return extract_stage(
             ds, concurrency=cfg.extract_concurrency,
             batch_size=cfg.extract_batch_size,
-            thresholds=cfg.thresholds, stages=cfg.stages)
+            thresholds=cfg.thresholds, stages=cfg.stages,
+            gazetteer_frozen=gaz_frozen)
 
     # The extraction table is consumed by TWO branches (pair generation and
     # the final cluster join-back); pin it ONCE so the lineage doesn't
@@ -199,39 +232,29 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
         extracted = __import__("ray").data.read_parquet(spill_dir)
         _phase_done("extract", n_extracted)
 
-    # ---- phase 2: blocking + candidate pairs (SHUFFLE 2)
-    # Each phase below is pinned (parquet checkpoint or object-store
-    # materialize). Beyond resumability, this is a measured 6x wall-clock
-    # win: Ray 2.49's streaming executor serializes chained sort-based
-    # AllToAll operators (bucket groupby -> edge groupby) badly when
-    # planned as one lazy topology. All pinned tables are mention-scale
-    # (blocked keys / candidate pairs / edges), not turn-scale.
-    def compute_pairs():
-        entity_rows = extracted.map_batches(
-            _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
-        blocked = blocking_stage(entity_rows).materialize()
-        return candidate_pairs_stage(
-            blocked, cap=cfg.block_cap, window=cfg.block_window)
-
-    pairs = (ckpt.run("02_pairs", cfg_fp, compute_pairs)
-             if cfg.checkpoint_dir else compute_pairs().materialize())
-    _phase_done("pairs", pairs.count())
-
-    # ---- phase 3: scoring -> edges (deduped: a pair generated by several
-    # blocking keys is scored per key — cheap, vectorized — then collapsed
-    # here on the 3-column edge table instead of shuffling the wide pair
-    # table before scoring)
+    # ---- phase 2-3: blocking + candidate pairs + FUSED scoring -> edges
+    # (SHUFFLE 2). The ensemble scorer runs inside the bucket group fn, so
+    # only matched edges leave the shuffle — the wide candidate-pair table
+    # never exists as a dataset. Each phase below is pinned (parquet
+    # checkpoint or object-store materialize): beyond resumability, this
+    # is a measured 6x wall-clock win — Ray 2.49's streaming executor
+    # serializes chained sort-based AllToAll operators badly when planned
+    # as one lazy topology. All pinned tables are mention-scale.
     # A pair generated by several blocking keys yields duplicate edges;
     # union-find is invariant to multi-edges, so no dedup shuffle here —
     # the groupby it would need (string (u,v) sort) measured more expensive
     # than carrying ~3x edges through the (streaming, map-only) UF rounds.
     def compute_edges():
-        scored = score_pairs_stage(pairs, threshold=cfg.score_threshold)
-        return scored.filter(expr="match == True")
+        entity_rows = extracted.map_batches(
+            _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
+        blocked = blocking_stage(entity_rows).materialize()
+        return candidate_pairs_stage(
+            blocked, cap=cfg.block_cap, window=cfg.block_window,
+            score_threshold=cfg.score_threshold)
 
     # edge table is small (matched pairs only) and consumed iteratively by
     # union-find: pin it so rounds never re-run extraction/scoring
-    edges = (ckpt.run("03_edges", cfg_fp, compute_edges)
+    edges = (ckpt.run("02_edges", cfg_fp, compute_edges)
              if cfg.checkpoint_dir else compute_edges().materialize())
     _phase_done("edges", edges.count())
 

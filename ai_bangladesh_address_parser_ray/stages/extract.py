@@ -44,21 +44,42 @@ class ExtractTurns:
     def __init__(self, thresholds: Optional[Dict[str, float]] = None,
                  stages: Optional[Dict[str, bool]] = None,
                  text_column: str = "norm_text", memo: bool = True,
-                 ner_model_factory=None):
+                 ner_model_factory=None, gazetteer_frozen=None,
+                 detailed: bool = False):
         # the factory (not the model) ships to the worker; the model loads
         # once per actor here in __init__ — the actor-pool pattern for
         # expensive state
         ner_model = ner_model_factory() if ner_model_factory else None
+        gaz = None
+        if gazetteer_frozen is not None:
+            from ..kernel.gazetteer import thaw_gazetteer
+            gaz = thaw_gazetteer(gazetteer_frozen)
         self.kernel = ExtractionKernel(thresholds=thresholds, stages=stages,
-                                       ner_model=ner_model)
+                                       ner_model=ner_model, gazetteer=gaz)
         self.text_column = text_column
         self.memo: Optional[Dict] = {} if memo else None
+        self.detailed = detailed
 
     def _extract_one(self, t: str):
-        res = self.kernel.extract(t)
+        res = self.kernel.extract(t, detailed=self.detailed)
         comp = res["components"]
         row = tuple(comp[f] for f in COMPONENT_FIELDS) \
             + (res["overall_confidence"],)
+        if self.detailed:
+            # debug evidence columns (reference `detailed=True` metadata,
+            # extractor.py:291-321): script, per-component winning source,
+            # conflict count, enabled stages
+            import json
+            meta = res["metadata"]
+            details = meta["component_details"]
+            row += (
+                meta["script"]["primary_script"],
+                json.dumps({f: r["source"] for f, r in details.items()
+                            if r}, sort_keys=True),
+                sum(1 for r in details.values()
+                    if r and r.get("conflict")),
+                json.dumps(meta["enabled_stages"], sort_keys=True),
+            )
         return row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -78,12 +99,23 @@ class ExtractTurns:
                     memo[t] = row
                 rows.append(row)
         out = batch
+        nc = len(COMPONENT_FIELDS)
         for i, f in enumerate(COMPONENT_FIELDS):
             out = out.append_column(
                 f, pa.array([r[i] for r in rows], pa.string()))
         out = out.append_column(
             "overall_confidence",
-            pa.array([r[-1] for r in rows], pa.float64()))
+            pa.array([r[nc] for r in rows], pa.float64()))
+        if self.detailed:
+            out = (out
+                   .append_column("meta_script", pa.array(
+                       [r[nc + 1] for r in rows], pa.string()))
+                   .append_column("meta_sources", pa.array(
+                       [r[nc + 2] for r in rows], pa.string()))
+                   .append_column("meta_conflicts", pa.array(
+                       [r[nc + 3] for r in rows], pa.int32()))
+                   .append_column("meta_enabled_stages", pa.array(
+                       [r[nc + 4] for r in rows], pa.string())))
         return out
 
 
@@ -107,26 +139,33 @@ def _auto_concurrency(concurrency):
 _TASK_KERNELS: Dict[tuple, "ExtractTurns"] = {}
 
 
-def _config_key(thresholds, stages, text_column) -> tuple:
+def _config_key(thresholds, stages, text_column, gazetteer_frozen,
+                detailed) -> tuple:
     def _frozen(d):
         return tuple(sorted(d.items())) if d else ()
-    return (_frozen(thresholds), _frozen(stages), text_column)
+    return (_frozen(thresholds), _frozen(stages), text_column,
+            gazetteer_frozen, detailed)
 
 
 def _extract_batch_task(batch: pa.Table, thresholds=None, stages=None,
-                        text_column="norm_text") -> pa.Table:
-    key = _config_key(thresholds, stages, text_column)
+                        text_column="norm_text", gazetteer_frozen=None,
+                        detailed=False) -> pa.Table:
+    key = _config_key(thresholds, stages, text_column, gazetteer_frozen,
+                      detailed)
     fn = _TASK_KERNELS.get(key)
     if fn is None:
         fn = ExtractTurns(thresholds=thresholds, stages=stages,
-                          text_column=text_column)
+                          text_column=text_column,
+                          gazetteer_frozen=gazetteer_frozen,
+                          detailed=detailed)
         _TASK_KERNELS[key] = fn
     return fn(batch)
 
 
 def extract_stage(ds, concurrency=None, batch_size: int = 1024,
                   thresholds=None, stages=None, text_column="norm_text",
-                  ner_model_factory=None):
+                  ner_model_factory=None, gazetteer_frozen=None,
+                  detailed: bool = False):
     if ner_model_factory is not None:
         # heavy per-worker state: explicit actor pool
         return ds.map_batches(
@@ -134,7 +173,9 @@ def extract_stage(ds, concurrency=None, batch_size: int = 1024,
             fn_constructor_kwargs={
                 "thresholds": thresholds, "stages": stages,
                 "text_column": text_column,
-                "ner_model_factory": ner_model_factory},
+                "ner_model_factory": ner_model_factory,
+                "gazetteer_frozen": gazetteer_frozen,
+                "detailed": detailed},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
@@ -144,7 +185,9 @@ def extract_stage(ds, concurrency=None, batch_size: int = 1024,
     return ds.map_batches(
         _extract_batch_task,
         fn_kwargs={"thresholds": thresholds, "stages": stages,
-                   "text_column": text_column},
+                   "text_column": text_column,
+                   "gazetteer_frozen": gazetteer_frozen,
+                   "detailed": detailed},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -153,7 +196,8 @@ def extract_stage(ds, concurrency=None, batch_size: int = 1024,
 
 def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
                         num_partitions: int = 16,
-                        thresholds=None, stages=None):
+                        thresholds=None, stages=None,
+                        gazetteer_frozen=None):
     """Exact-dedup-before-compute: extract once per distinct norm_text, then
     hash-join the component columns back onto every turn.
 
@@ -188,7 +232,8 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
     )
     extracted = extract_stage(
         distinct, concurrency=concurrency, batch_size=batch_size,
-        thresholds=thresholds, stages=stages).drop_columns(["norm_text"])
+        thresholds=thresholds, stages=stages,
+        gazetteer_frozen=gazetteer_frozen).drop_columns(["norm_text"])
     return ds.join(
         extracted,
         join_type="inner",

@@ -135,8 +135,15 @@ def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
 
 
 def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
-                          num_buckets: int = 128):
-    """blocked rows -> candidate-pair table (NOT deduped across keys)."""
+                          num_buckets: int = 128,
+                          score_threshold: float = None):
+    """blocked rows -> candidate-pair table (NOT deduped across keys).
+
+    With ``score_threshold`` set, the ensemble scorer runs INSIDE the
+    bucket group function and only matched edges (u, v, score, oversized)
+    leave the task — the wide 18-column pair table never materializes,
+    which at corpus scale removes a full mention-scale object-store pass
+    between pair generation and scoring."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch["block_key"].to_pylist()
@@ -146,6 +153,21 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         return _pairs_from_bucket(df, cap, window)
 
+    def gen_scored(df: pd.DataFrame) -> pd.DataFrame:
+        from .scoring import _score_batch
+        pairs = _pairs_from_bucket(df, cap, window)
+        if not len(pairs):
+            return pd.DataFrame({
+                "u": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="object"),
+                "score": pd.Series([], dtype="float64"),
+                "oversized": pd.Series([], dtype="int32")})
+        scored = _score_batch(pairs, score_threshold)
+        scored["oversized"] = pairs["oversized"]
+        m = scored[scored["match"]]
+        return m[["u", "v", "score", "oversized"]].reset_index(drop=True)
+
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return bucketed.groupby("bucket").map_groups(gen, batch_format="pandas")
+    fn = gen if score_threshold is None else gen_scored
+    return bucketed.groupby("bucket").map_groups(fn, batch_format="pandas")

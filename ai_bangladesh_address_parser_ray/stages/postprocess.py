@@ -183,13 +183,48 @@ def compare_adjacent_stage(extracted, num_partitions: int = 16):
 
 
 def corpus_statistics(extracted):
-    """A1 scalars: row count, mean completeness, mean confidence. Returns a
-    1-row pyarrow table (aggregate runs distributed; driver sees scalars)."""
-    from ray.data.aggregate import Count, Mean
-    v = validate_stage(extracted)
-    agg = v.aggregate(
-        Count("completeness", alias_name="n_rows"),
-        Mean("completeness", alias_name="mean_completeness"),
-        Mean("overall_confidence", alias_name="mean_confidence"),
-    )
+    """A1 scalars (reference ``get_statistics``,
+    ``address_utils.py:262-324``): row count, mean completeness, mean
+    confidence, plus a per-component MISSING count. One distributed pass:
+    per-batch partial sums inside map tasks, one global aggregate — the
+    driver only ever sees the 1-row result."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def _with_missing(batch: pa.Table) -> pa.Table:
+        out = batch
+        for f in COMPONENT_FIELDS:
+            miss = pc.cast(pc.equal(
+                pc.utf8_length(pc.fill_null(batch[f], "")), 0), pa.int64())
+            out = out.append_column("missing_" + f, miss)
+        return out
+
+    v = validate_stage(extracted).map_batches(
+        _with_missing, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Count("completeness", alias_name="n_rows"),
+            Mean("completeness", alias_name="mean_completeness"),
+            Mean("overall_confidence", alias_name="mean_confidence")]
+    aggs += [Sum("missing_" + f, alias_name="missing_" + f)
+             for f in COMPONENT_FIELDS]
+    agg = v.aggregate(*aggs)
     return pa.table({k: [v] for k, v in agg.items()})
+
+
+def area_distribution(extracted, k: int = 20):
+    """A1 distribution: top-k areas by mention count (reference
+    ``areas.most_common(20)``), deterministic ties by name."""
+    return _field_distribution(extracted, "area", k)
+
+
+def division_distribution(extracted, k: int = 8):
+    """A1 distribution: top-k divisions (reference
+    ``divisions.most_common(8)``)."""
+    return _field_distribution(extracted, "division", k)
+
+
+def _field_distribution(extracted, field: str, k: int):
+    from ..functions.stats import top_k_by_count
+    nonempty = extracted.select_columns([field]).map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.utf8_length(pc.fill_null(b[field], "")), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_by_count(nonempty, field, k=k)

@@ -46,19 +46,23 @@ def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         ne = both & ~eq
         if ne.any():
             if f in _IDENTIFIER_FIELDS:
-                # vectorized twin of kernel _is_identifier: any digits AND
-                # (short OR digit-dominant among alphanumerics)
-                nd_l = ls.str.count(r"\d").to_numpy()
-                nd_r = rs.str.count(r"\d").to_numpy()
-                an_l = ls.str.count(r"[0-9a-zA-Z]").to_numpy()
-                an_r = rs.str.count(r"[0-9a-zA-Z]").to_numpy()
-                is_id_l = (nd_l > 0) & ((ls.str.len().le(6).to_numpy())
+                # vectorized twin of kernel _is_identifier — any digits AND
+                # (short OR digit-dominant among alphanumerics) — computed
+                # only on the (rare) non-equal subset
+                ne_idx = np.flatnonzero(ne)
+                ls_s = ls.iloc[ne_idx]
+                rs_s = rs.iloc[ne_idx]
+                nd_l = ls_s.str.count(r"\d").to_numpy()
+                nd_r = rs_s.str.count(r"\d").to_numpy()
+                an_l = ls_s.str.count(r"[0-9a-zA-Z]").to_numpy()
+                an_r = rs_s.str.count(r"[0-9a-zA-Z]").to_numpy()
+                is_id_l = (nd_l > 0) & ((ls_s.str.len().le(6).to_numpy())
                                         | (nd_l * 2 >= an_l))
-                is_id_r = (nd_r > 0) & ((rs.str.len().le(6).to_numpy())
+                is_id_r = (nd_r > 0) & ((rs_s.str.len().le(6).to_numpy())
                                         | (nd_r * 2 >= an_r))
-                id_exact = ne & (is_id_l | is_id_r)
-                sims[i, id_exact] = 0.0
-                slow_mask |= ne & ~id_exact
+                id_exact = is_id_l | is_id_r
+                sims[i, ne_idx[id_exact]] = 0.0
+                slow_mask[ne_idx[~id_exact]] = True
             else:
                 slow_mask |= ne
 

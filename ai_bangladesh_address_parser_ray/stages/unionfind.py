@@ -67,11 +67,6 @@ def connected_components(edges, num_partitions: int = 32,
     Both are monotone (labels only decrease), so retries/replays converge
     to the identical partition.
     """
-    # symmetric edge list: (src, dst) both directions
-    fwd = _rename(edges.select_columns(["u", "v"]),
-                  {"u": "src", "v": "dst"}).select_columns(["src", "dst"])
-    rev = _rename(edges.select_columns(["v", "u"]),
-                  {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     import os as _os
     import time as _time
     _dbg = _os.environ.get("GRAFT_UF_DEBUG")
@@ -83,26 +78,30 @@ def connected_components(edges, num_partitions: int = 32,
             print(f"UF {tag}: {_time.time() - _t:.1f}s", flush=True)
         _t = _time.time()
 
-    sym = fwd.union(rev).materialize()
-    _mark("sym_materialize")
-
     # Strategy gate on the NODE count, not the edge count: the broadcast
     # path's footprint is the label vector (nodes), and multi-edges from
     # overlapping blocking keys inflate the edge table ~3x without adding
-    # a single node. Collecting the universe (per-block partial uniques ->
-    # tree merge) is one streaming pass over the edge blocks and is exactly
-    # the first step the broadcast path needs anyway, so the gate costs
-    # nothing when broadcast wins. Only when even the edge table is far
-    # beyond reach (> 32x limit rows) do we skip the count and go straight
-    # to the fully-distributed hash-join rounds.
-    n_sym = sym.count()
-    _mark(f"count_gate ({n_sym} edges)")
-    if n_sym <= 32 * broadcast_limit:
-        nodes = _collect_universe(sym)
+    # a single node. The broadcast path never materializes a symmetric
+    # STRING edge list — symmetrization happens in int index space inside
+    # the one-pass conversion tasks (both directions emitted from each
+    # edge block), halving the string bytes touched. Only the hash-join
+    # fallback (label table beyond driver reach) builds the symmetric
+    # string table it joins on.
+    n_edges = edges.count()
+    _mark(f"count_gate ({n_edges} edges)")
+    if n_edges <= 16 * broadcast_limit:
+        nodes = _collect_universe(edges)
         _mark(f"collect_universe ({len(nodes)} nodes)")
         if len(nodes) <= broadcast_limit:
-            return _broadcast_components(sym, max_rounds, nodes=nodes)
+            return _broadcast_components(edges, max_rounds, nodes=nodes)
 
+    # symmetric edge list: (src, dst) both directions
+    fwd = _rename(edges.select_columns(["u", "v"]),
+                  {"u": "src", "v": "dst"}).select_columns(["src", "dst"])
+    rev = _rename(edges.select_columns(["v", "u"]),
+                  {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
+    sym = fwd.union(rev).materialize()
+    _mark("sym_materialize")
     return _hashjoin_components(sym, num_partitions, max_rounds)
 
 
@@ -198,26 +197,35 @@ def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
     return _rename(labels, {"label": "cluster_id"})
 
 
-def _collect_universe(sym):
-    """Distinct node ids of the symmetric edge table, sorted: per-block
-    partial uniques in leaf tasks, hash-based merge in a TREE of tasks
-    (arity 8) — the driver only ray.gets the single root result, never
-    iterates blocks. Returns a sorted np.ndarray (possibly empty)."""
+def _collect_universe(edges):
+    """Distinct node ids over BOTH endpoint columns of the (directed) edge
+    table, sorted: per-block partial uniques in leaf tasks, hash-based
+    merge in a TREE of tasks (arity 8) — the driver only ray.gets the
+    single root result, never iterates blocks. Returns a sorted np.ndarray
+    (possibly empty)."""
     import numpy as np
     import ray
 
     @ray.remote(num_cpus=1)
     def _leaf(*blocks: pa.Table) -> np.ndarray:
         import pandas as pd
-        return pd.unique(np.concatenate(
-            [b["src"].to_numpy(zero_copy_only=False) for b in blocks]))
+        parts = []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            for col in ("u", "v"):
+                if col in b.column_names:
+                    parts.append(b[col].to_numpy(zero_copy_only=False))
+        if not parts:       # empty blocks can be schema-less
+            return np.array([], dtype=object)
+        return pd.unique(np.concatenate(parts))
 
     @ray.remote(num_cpus=1)
     def _merge(*parts: np.ndarray) -> np.ndarray:
         import pandas as pd
         return pd.unique(np.concatenate(parts))
 
-    block_refs = sym.to_arrow_refs()
+    block_refs = edges.to_arrow_refs()
     if not block_refs:
         return np.array([], dtype=object)
     # one leaf task per ~CPU, each eating a chunk of blocks: per-task
@@ -236,22 +244,22 @@ def _collect_universe(sym):
     return np.sort(out)
 
 
-def _broadcast_components(sym, max_rounds: int, nodes=None):
+def _broadcast_components(edges, max_rounds: int, nodes=None):
     """Broadcast-label propagation (see connected_components docstring).
 
     Works in integer index space: the node universe is collected once
-    (distributed per-block uniques, driver merge), the string edge list is
-    converted to (src_idx, dst_idx) int64 blocks in ONE pass (hash-based
-    pd.Index.get_indexer — string work never repeats per round), and each
-    round broadcasts only the int64 parent vector (8 bytes/node). Map
-    tasks emit per-block DENSE min-label vectors which a TREE of Ray
-    tasks folds with np.minimum — the driver never iterates partials, it
-    ray.gets exactly one reduced vector per round, then fully
-    path-compresses by repeated parent = parent[parent] (pointer jumping,
-    O(log diameter) vectorized passes). Index rank preserves lexicographic
-    node order, so min-index == min node_id — the same deterministic
-    cluster_id as the hash-join strategy. Duplicate edges cost one int row
-    each — no dedup shuffle needed upstream."""
+    (distributed per-block uniques, tree merge), the DIRECTED string edge
+    list is converted to SYMMETRIC (src_idx, dst_idx) int64 blocks in ONE
+    pass (both directions emitted as int rows, so no symmetric string
+    table is ever built), and each round broadcasts only the int64 parent
+    vector (8 bytes/node). Map tasks emit per-block DENSE min-label
+    vectors which a TREE of Ray tasks folds with np.minimum — the driver
+    never iterates partials, it ray.gets exactly one reduced vector per
+    round, then fully path-compresses by repeated parent = parent[parent]
+    (pointer jumping, O(log diameter) vectorized passes). Index rank
+    preserves lexicographic node order, so min-index == min node_id — the
+    same deterministic cluster_id as the hash-join strategy. Duplicate
+    edges cost one int row each — no dedup shuffle needed upstream."""
     import os
     import time
     import numpy as np
@@ -268,7 +276,7 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
         _t0 = time.time()
 
     if nodes is None:
-        nodes = _collect_universe(sym)
+        nodes = _collect_universe(edges)
     _mark("universe")
     if len(nodes) == 0:
         return ray.data.from_arrow(pa.table({
@@ -276,36 +284,73 @@ def _broadcast_components(sym, max_rounds: int, nodes=None):
             "cluster_id": pa.array([], pa.string())}))
     n = len(nodes)
     parent = np.arange(n, dtype=np.int64)
-    index_ref = ray.put(pd.Index(nodes))
-    _mark("index_put")
 
     # 2. one-pass string -> index conversion of the edge blocks; blocks
     # stay in the object store as (si, di) int64 pairs reachable by ref —
-    # the driver never pulls them.
-    def _to_idx(batch: pa.Table) -> pa.Table:
-        idx = ray.get(index_ref)
-        si = idx.get_indexer(batch["src"].to_numpy(zero_copy_only=False))
-        di = idx.get_indexer(batch["dst"].to_numpy(zero_copy_only=False))
-        return pa.table({"si": pa.array(si, pa.int64()),
-                         "di": pa.array(di, pa.int64())})
+    # the driver never pulls them. The broadcast lookup is (sorted uint64
+    # hash, rank) numpy arrays — ZERO-COPY per task, where a pd.Index of
+    # object strings costs seconds of unpickling + hashtable build per
+    # task (see _join_clusters_back). Exactness: duplicate node-hash would
+    # make searchsorted ambiguous, so the driver checks for collisions
+    # once and falls back to the (slow, exact) pd.Index path — a ~1e-8
+    # event at the broadcast limit.
+    from .normalize import _hash64
+    h = _hash64(pa.array(nodes, pa.string())).to_numpy()
+    order = np.argsort(h, kind="stable").astype(np.int64)
+    h_sorted = np.ascontiguousarray(h[order])
+    unique_hashes = n == 0 or (np.diff(h_sorted) != 0).all()
+    if unique_hashes:
+        index_ref = ray.put((h_sorted, order))
+
+        def _to_idx(batch: pa.Table) -> pa.Table:
+            hs, rank = ray.get(index_ref)
+            bu = _hash64(batch["u"]).to_numpy()
+            bv = _hash64(batch["v"]).to_numpy()
+            ui = rank[np.searchsorted(hs, bu)]
+            vi = rank[np.searchsorted(hs, bv)]
+            # symmetrize HERE, in int space: (u,v) and (v,u)
+            return pa.table({
+                "si": pa.array(np.concatenate([ui, vi]), pa.int64()),
+                "di": pa.array(np.concatenate([vi, ui]), pa.int64())})
+    else:   # astronomically rare: exact hashtable fallback
+        index_ref = ray.put(pd.Index(nodes))
+
+        def _to_idx(batch: pa.Table) -> pa.Table:
+            idx = ray.get(index_ref)
+            ui = idx.get_indexer(batch["u"].to_numpy(zero_copy_only=False))
+            vi = idx.get_indexer(batch["v"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "si": pa.array(np.concatenate([ui, vi]), pa.int64()),
+                "di": pa.array(np.concatenate([vi, ui]), pa.int64())})
+    _mark("index_put")
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    sym_idx = sym.map_batches(_to_idx, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-                 .repartition(cpus).materialize()   # few fat int blocks:
+    sym_idx = edges.select_columns(["u", "v"]) \
+                   .map_batches(_to_idx, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .repartition(cpus).materialize()   # few fat int blocks:
     # per-round wall = max block compute, not per-block dispatch overhead
     block_refs = sym_idx.to_arrow_refs()
     _mark("to_idx+repartition")
 
-    # 3. per-round: broadcast parent, per-block dense partial mins in
-    # tasks, TREE-reduce (arity 8) in tasks, driver folds ONE vector.
+    # 3. per-round: broadcast parent, per-block LOCAL CLOSURE in tasks
+    # (iterated min-propagation + pointer jumping over the block's own
+    # edges until the block's fixed point — hop reach per GLOBAL round is
+    # the whole block subgraph, not 1, so global rounds ~ block-graph
+    # diameter, typically 2-3), TREE-reduce (arity 8) in tasks, driver
+    # folds ONE vector.
     @ray.remote(num_cpus=1)
     def _prop_block(block: pa.Table, par: np.ndarray, n: int) -> np.ndarray:
         si = block["si"].to_numpy()
-        lab = par[block["di"].to_numpy()]
-        cand = np.arange(n, dtype=np.int64)
-        np.minimum.at(cand, si, lab)
-        return cand
+        di = block["di"].to_numpy()
+        cand = par.copy()
+        while True:
+            new = cand.copy()
+            np.minimum.at(new, si, cand[di])
+            np.minimum(new, new[new], out=new)     # local pointer jump
+            if np.array_equal(new, cand):
+                return new
+            cand = new
 
     @ray.remote(num_cpus=1)
     def _min_merge(*vecs: np.ndarray) -> np.ndarray:

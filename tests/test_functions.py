@@ -245,6 +245,27 @@ class TestSimilarity:
             out[int(ids[qi])] = cand[:k]
         return out
 
+    def test_lang_id_vectorized_matches_scalar(self, ray_session, docs_df):
+        """The Arrow-kernel batch path must equal lang_id_one row-for-row
+        (incl. edge cases: empty text, bangla/CJK overrides, no-hit)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            lang_id, lang_id_one)
+        extra = pd.DataFrame({
+            "doc_id": [90001, 90002, 90003, 90004],
+            "text": ["", "আমি বাংলায় গান গাই", "的的 的 中文 文本 的",
+                     "zxqv prkl mnop"],
+        })
+        df = pd.concat([docs_df[["doc_id", "text"]], extra],
+                       ignore_index=True)
+        got = lang_id(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = df.sort_values("doc_id").reset_index(drop=True)
+        for g, t in zip(got.itertuples(), exp["text"]):
+            lang, score = lang_id_one(t or "")
+            assert g.lang_pred == lang, t
+            assert abs(g.lang_score - score) < 1e-9, t
+
     def test_embedding_pairs_lsh_path_matches_brute(self, ray_session):
         """The scale-gated sign-LSH strategy must find the same near-dup
         pairs as the broadcast brute-force on a seeded clustered corpus

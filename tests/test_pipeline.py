@@ -86,7 +86,7 @@ class TestLinkagePipeline:
     def test_checkpoint_manifests_written(self, linkage_result):
         _, _, _, ckpt, _ = linkage_result
         import json
-        for phase in ["01_extracted", "02_pairs", "03_edges", "04_clusters"]:
+        for phase in ["01_extracted", "02_edges", "04_clusters"]:
             path = os.path.join(ckpt, phase, "manifest.json")
             assert os.path.exists(path), phase
             m = json.load(open(path))
@@ -98,15 +98,14 @@ class TestLinkagePipeline:
         metrics), not only inside checkpoint manifests."""
         res, *_ = linkage_result
         m = res["metrics"]
-        for phase in ["extract", "pairs", "edges", "unionfind", "join_back"]:
+        for phase in ["extract", "edges", "unionfind", "join_back"]:
             assert phase in m, phase
         assert m["extract"]["rows_out"] > 0
-        assert m["pairs"]["rows_out"] > 0
         assert m["edges"]["rows_out"] > 0
         assert m["unionfind"]["strategy"] in ("broadcast", "hash_join")
         assert m["unionfind"]["converged"] is True
         assert m["unionfind"]["rounds"] >= 1
-        for phase in ["extract", "pairs", "edges", "unionfind"]:
+        for phase in ["extract", "edges", "unionfind"]:
             assert m[phase]["wall_s"] >= 0
 
     def test_resume_identical_output(self, linkage_result, synth_small):
@@ -115,7 +114,7 @@ class TestLinkagePipeline:
         res1, df1, cfg, ckpt, ds = linkage_result
         import json
         wall1 = {p: json.load(open(os.path.join(ckpt, p, "manifest.json")))
-                 for p in ["01_extracted", "02_pairs", "03_edges"]}
+                 for p in ["01_extracted", "02_edges"]}
         res2 = run_linkage(ds, cfg, input_token=synth_small)
         df2 = res2["turns"].to_pandas()
         key = ["conv_id", "turn_idx"]
@@ -182,6 +181,50 @@ class TestUnionFind:
                       e2, num_partitions=2, broadcast_limit=0).take_all()}
         assert bcast == joined
         assert set(bcast.values()) == {"a"}
+
+    def test_hash_join_long_chain_pointer_jumping(self, ray_session):
+        """A 40-hop chain must converge in few rounds: the per-round
+        pointer-jumping join doubles hop reach (2^6 > 40), where plain
+        one-hop propagation would exhaust the budget and raise."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            _hashjoin_components, _rename)
+        import pyarrow as pa
+        n = 40
+        edges = pa.table({
+            "u": [f"n{i:03d}" for i in range(n - 1)],
+            "v": [f"n{i + 1:03d}" for i in range(n - 1)],
+        })
+        ds = ray.data.from_arrow(edges)
+        fwd = _rename(ds.select_columns(["u", "v"]),
+                      {"u": "src", "v": "dst"})
+        rev = _rename(ds.select_columns(["v", "u"]),
+                      {"v": "src", "u": "dst"})
+        sym = fwd.union(rev).materialize()
+        out = _hashjoin_components(sym, num_partitions=2,
+                                   max_rounds=7).to_pandas()
+        assert (out["cluster_id"] == "n000").all()
+        assert len(out) == n
+
+    def test_hash_join_exhausted_rounds_raises(self, ray_session):
+        import ray.data
+        import pytest as _pytest
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            _hashjoin_components, _rename)
+        import pyarrow as pa
+        n = 64
+        edges = pa.table({
+            "u": [f"n{i:03d}" for i in range(n - 1)],
+            "v": [f"n{i + 1:03d}" for i in range(n - 1)],
+        })
+        ds = ray.data.from_arrow(edges)
+        fwd = _rename(ds.select_columns(["u", "v"]),
+                      {"u": "src", "v": "dst"})
+        rev = _rename(ds.select_columns(["v", "u"]),
+                      {"v": "src", "u": "dst"})
+        sym = fwd.union(rev).materialize()
+        with _pytest.raises(RuntimeError, match="exhausted"):
+            _hashjoin_components(sym, num_partitions=2, max_rounds=2)
 
     def test_deterministic_min_label(self, ray_session):
         import ray.data

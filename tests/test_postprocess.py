@@ -67,11 +67,54 @@ class TestStatistics:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
     def test_corpus_statistics(self, extracted):
+        from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
         from ai_bangladesh_address_parser_ray.stages.postprocess import (
             corpus_statistics)
         got = corpus_statistics(extracted).to_pandas()
         assert got.n_rows[0] == extracted.count()
         assert 0 < got.mean_completeness[0] < 1
+        # per-component missing counts match a hand computation (A1 parity,
+        # reference address_utils.py:262-324 missing_components)
+        df = extracted.to_pandas()
+        for f in COMPONENT_FIELDS:
+            exp = int((df[f].fillna("") == "").sum())
+            assert int(got["missing_" + f][0]) == exp, f
+
+    def test_area_division_distributions(self, extracted):
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            area_distribution, division_distribution)
+        df = extracted.to_pandas()
+        got_a = area_distribution(extracted, k=20).to_pandas()
+        exp_a = (df.query("area != ''").groupby("area").size()
+                 .rename("n").reset_index()
+                 .sort_values(["n", "area"], ascending=[False, True])
+                 .head(20).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_a, exp_a, check_dtype=False)
+        got_d = division_distribution(extracted, k=8).to_pandas()
+        assert len(got_d) <= 8
+        assert (got_d.n.diff().dropna() <= 0).all()
+
+    def test_detailed_extraction_columns(self, ray_session, synth_small):
+        """Opt-in debug metadata columns; default path schema unchanged."""
+        import json
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            extract_stage)
+        from ai_bangladesh_address_parser_ray.stages.normalize import (
+            normalize_stage)
+        ds = ray.data.read_parquet(f"{synth_small}/transcripts").limit(64)
+        norm = normalize_stage(ds)
+        plain_cols = set(extract_stage(norm).schema().names)
+        det = extract_stage(norm, detailed=True)
+        det_cols = set(det.schema().names)
+        assert det_cols - plain_cols == {
+            "meta_script", "meta_sources", "meta_conflicts",
+            "meta_enabled_stages"}
+        row = det.take(1)[0]
+        stages = json.loads(row["meta_enabled_stages"])
+        assert stages.get("regex") is True and "geo" in stages
+        json.loads(row["meta_sources"])          # valid JSON
+        assert row["meta_script"] in ("bn", "en", "mixed", "neutral")
 
     def test_suggest_areas(self):
         from ai_bangladesh_address_parser_ray.kernel.validate_format import (
