@@ -49,8 +49,9 @@ class LinkageConfig:
     score_threshold: float = 0.85
     max_uf_rounds: int = 16
     # cluster-table row limit below which the final join-back is a
-    # broadcast map-side join instead of a hash shuffle
-    join_broadcast_limit: int = 2_000_000
+    # broadcast map-side join instead of a hash shuffle (the broadcast is
+    # two uint64 vectors + the cluster-id strings: ~40 B/row)
+    join_broadcast_limit: int = 8_000_000
     dedup_exact: object = "local"     # "local" | "shuffle" | True | False
     checkpoint_dir: Optional[str] = None
     thresholds: Optional[dict] = None

@@ -266,6 +266,12 @@ _SF_PRESETS = {
     # 1 cpu-eq, s~33s -> projected N->4N efficiency ~0.8 at this scale)
     "sf-scaling-xl": dict(n_convs=600_000, turns_per_conv=8,
                           n_entities=120_000),
+    # ~19.2M turns: the two-cluster-size scaling evidence preset — enough
+    # parallel compute (~6,700 cpu-s) that the measured ~47s of per-run
+    # fixed cost (phase barriers, driver folds, actor spin-up) amortizes
+    # the way it would at the 10^12-turn design point
+    "sf-scaling-xxl": dict(n_convs=2_400_000, turns_per_conv=8,
+                           n_entities=480_000),
 }
 
 

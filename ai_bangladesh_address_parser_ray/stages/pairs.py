@@ -35,7 +35,7 @@ from .. import COMPONENT_FIELDS
 
 _L = ["l_" + f for f in COMPONENT_FIELDS]
 _R = ["r_" + f for f in COMPONENT_FIELDS]
-PAIR_COLUMNS = ["pair_key", "u", "v"] + _L + _R + ["oversized"]
+PAIR_COLUMNS = ["pair_key", "u", "v"] + _L + _R + ["oversized", "same_ext"]
 
 
 def _group_pair_indices(n: int, offset: int, cap: int, window: int,
@@ -123,6 +123,10 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
         out["l_" + f] = np.where(swap, rv, lv)
         out["r_" + f] = np.where(swap, lv, rv)
     out["oversized"] = ov
+    # identical-extraction pairs (all two-level star pairs and the
+    # duplicate-heavy slice of all-pairs blocks) score 1.0 by construction
+    # — the fused scorer skips them entirely
+    out["same_ext"] = ext[li] == ext[ri]
     return pd.DataFrame(out)
 
 
@@ -134,16 +138,76 @@ def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     return _pairs_from_bucket(df, cap, window)
 
 
+def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
+    """Zipf-head defense: one blocking key whose block outgrows a single
+    task (the Dhaka problem) would make the whole stage wait on one CPU.
+    A cheap count pass finds keys with > ``hot_block_rows`` rows; their
+    rows get a deterministic salt appended — ``hash(road) % S`` with
+    ``S = ceil(rows / salt_target)`` — so the mega-block splits into
+    bounded sub-blocks that spread across every bucket/task. Sharding by
+    ROAD is connectivity-preserving: within an area block, road is the
+    per-entity discriminator, so all of one entity's mention variants land
+    in the same shard and same-entity pair recall is unchanged; only
+    cross-entity pairs (unwanted) lose cross-shard candidates."""
+    import pyarrow.compute as pc_
+
+    counts = ds.select_columns(["block_key"]).groupby("block_key").count()
+    hot_batches = [
+        b for b in counts.map_batches(
+            lambda t: t.filter(pc_.greater(t["count()"], hot_block_rows)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")]
+    hot = {}
+    for b in hot_batches:
+        for k, n in zip(b["block_key"].to_pylist(),
+                        b["count()"].to_pylist()):
+            hot[k] = int(-(-n // salt_target))      # ceil
+    if not hot:
+        return ds
+    import pandas as pd_
+    hot_keys = sorted(hot)
+    hot_index = pd_.Index(hot_keys)
+    shards = np.asarray([hot[k] for k in hot_keys], dtype=np.uint64)
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        keys = batch["block_key"].to_numpy(zero_copy_only=False)
+        pos = hot_index.get_indexer(keys)
+        m = pos >= 0
+        if not m.any():
+            return batch
+        import polars as pl
+        road_h = pl.from_arrow(batch["road"]).hash(seed=7) \
+            .to_arrow().to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = shards[pos.clip(min=0)]
+        salt = (road_h % np.maximum(s, 1)).astype(np.int64)
+        new_keys = keys.copy()
+        new_keys[m] = np.char.add(
+            np.char.add(keys[m].astype(str), "#"),
+            salt[m].astype(str))
+        i = batch.schema.get_field_index("block_key")
+        return batch.set_column(i, "block_key",
+                                pa.array(new_keys, pa.string()))
+
+    return ds.map_batches(_salt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
                           num_buckets: int = 128,
-                          score_threshold: float = None):
+                          score_threshold: float = None,
+                          hot_block_rows: int = 20_000,
+                          salt_target: int = 8_000):
     """blocked rows -> candidate-pair table (NOT deduped across keys).
 
     With ``score_threshold`` set, the ensemble scorer runs INSIDE the
     bucket group function and only matched edges (u, v, score, oversized)
     leave the task — the wide 18-column pair table never materializes,
     which at corpus scale removes a full mention-scale object-store pass
-    between pair generation and scoring."""
+    between pair generation and scoring. Identical-extraction pairs skip
+    scoring entirely (score 1.0 by construction). Blocks larger than
+    ``hot_block_rows`` are salted into ~``salt_target``-row shards first
+    (see :func:`_salt_hot_blocks`)."""
+    ds = _salt_hot_blocks(ds, hot_block_rows, salt_target)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch["block_key"].to_pylist()
@@ -155,17 +219,29 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
 
     def gen_scored(df: pd.DataFrame) -> pd.DataFrame:
         from .scoring import _score_batch
+        empty = pd.DataFrame({
+            "u": pd.Series([], dtype="object"),
+            "v": pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64"),
+            "oversized": pd.Series([], dtype="int32")})
         pairs = _pairs_from_bucket(df, cap, window)
         if not len(pairs):
-            return pd.DataFrame({
-                "u": pd.Series([], dtype="object"),
-                "v": pd.Series([], dtype="object"),
-                "score": pd.Series([], dtype="float64"),
-                "oversized": pd.Series([], dtype="int32")})
-        scored = _score_batch(pairs, score_threshold)
-        scored["oversized"] = pairs["oversized"]
-        m = scored[scored["match"]]
-        return m[["u", "v", "score", "oversized"]].reset_index(drop=True)
+            return empty
+        same = pairs["same_ext"].to_numpy()
+        star = pairs.loc[same, ["u", "v", "oversized"]].copy()
+        star["score"] = 1.0
+        rest = pairs.loc[~same]
+        if len(rest):
+            scored = _score_batch(rest, score_threshold)
+            scored["oversized"] = rest["oversized"].to_numpy()
+            m = scored.loc[scored["match"],
+                           ["u", "v", "score", "oversized"]]
+        else:
+            m = empty
+        out = pd.concat(
+            [star[["u", "v", "score", "oversized"]], m],
+            ignore_index=True)
+        return out
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)

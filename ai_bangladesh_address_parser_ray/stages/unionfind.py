@@ -28,7 +28,11 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-BROADCAST_LABEL_LIMIT = 2_000_000
+# label-vector broadcast cap: 8M labels = a 64 MB int64 parent vector per
+# round plus a ~200 MB one-time string universe on the driver — small-side
+# territory for any realistic worker/driver heap. Beyond it the fully
+# distributed hash-join strategy engages.
+BROADCAST_LABEL_LIMIT = 8_000_000
 
 # diagnostics of the last connected_components call (rounds used,
 # convergence); read by run_linkage to populate pipeline metrics

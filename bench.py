@@ -130,7 +130,7 @@ def scaling():
     preset (480k turns) so parallel compute dominates fixed Ray latencies
     — efficiency at toy scale measures startup cost, not the pipeline."""
     lo, hi = 8, 32
-    preset = os.environ.get("GRAFT_SYNTH_PRESET", "sf-scaling-xl")
+    preset = os.environ.get("GRAFT_SYNTH_PRESET", "sf-scaling-xxl")
     # pre-generate the shared input once so neither timed run pays it
     os.environ["GRAFT_SYNTH_PRESET"] = preset
     from ai_bangladesh_address_parser_ray.sources.synthetic import synth_dir_for
