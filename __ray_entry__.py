@@ -25,6 +25,7 @@ from ai_bangladesh_address_parser_ray.functions import similarity as F_sim
 from ai_bangladesh_address_parser_ray.functions import stats as F_stats
 from ai_bangladesh_address_parser_ray.functions import text_analysis as F_text
 from ai_bangladesh_address_parser_ray.functions import multimodal as F_mm
+from ai_bangladesh_address_parser_ray.functions import relational as F_rel
 from ai_bangladesh_address_parser_ray.kernel.normalizer import (
     BN_KEYWORDS, BN_NUMERALS, BN_PLACES, CORRECTIONS)
 from ai_bangladesh_address_parser_ray.pipelines.linkage import (
@@ -279,6 +280,73 @@ def _q_media_frames(sf_dir):
     return F_mm.frame_sample_stage(media, n_frames=4, fake=True)
 
 
+# ---- relational / stream operators (SQL-oracled) ----
+
+def _q_revenue_topk(sf_dir):
+    import pyarrow.parquet as pq
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return F_rel.revenue_topk(orders, customer, k=10)
+
+
+_SESSION_GAP_S = 1800
+
+
+def _q_sessionize(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return F_rel.sessionize(ev, gap_s=_SESSION_GAP_S)
+
+
+def _q_asof_attribution(sf_dir):
+    import pyarrow.compute as pc
+
+    def _prep(event_type, rename):
+        def _f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            cols = {"user_id": t["user_id"],
+                    "ts_us": F_rel._ts_us(t["ts"])}
+            for src, dst in rename.items():
+                cols[dst] = t[src]
+            return pa.table(cols)
+        return _f
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(_prep("purchase", {"event_id": "event_id"}),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    signups = ev.map_batches(
+        _prep("signup", {"event_id": "signup_event_id"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _copy_ts(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "signup_ts_us", batch["ts_us"])
+
+    signups = signups.map_batches(_copy_ts, batch_format="pyarrow")
+    return F_rel.asof_join(purchases, signups, by="user_id", on_us="ts_us",
+                           right_payload=["signup_event_id",
+                                          "signup_ts_us"])
+
+
+_VALUE_BANDS = ([0.0, 100.0, 250.0, 1000.0], ["low", "mid", "high"])
+
+
+def _q_value_bands(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return F_rel.range_join_agg(ev, *_VALUE_BANDS)
+
+
+def _q_events_hourly(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return F_rel.tumbling_window_agg(ev, width_s=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -294,12 +362,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn,
         "embedding_dup_pairs": _q_embedding_dups,
         "ngram_dup_pairs": _q_ngram_dups,
+        "lang_id_docs": _q_langid,
+        "customer_revenue_topk": _q_revenue_topk,
+        "events_sessionized": _q_sessionize,
+        "asof_signup_attribution": _q_asof_attribution,
+        "events_value_bands": _q_value_bands,
+        "events_hourly": _q_events_hourly,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "linkage_clusters": _q_linkage,
         "extract_turn_components": _q_extract,
         "minhash_dup_pairs": _q_minhash,
         "simhash_dup_pairs": _q_simhash,
-        "lang_id_docs": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
         "media_frame_features": _q_media_frames,
@@ -338,6 +411,64 @@ def _normalizer_sql(col: str) -> str:
     e = f"trim({e})"
     e = f"regexp_replace({e}, '\\s*,\\s*', ', ', 'g')"
     return e
+
+
+def _lang_id_sql() -> str:
+    """Mirror of functions.text_analysis lang_id: same stopword profiles
+    (generated from LANG_PROFILES so they cannot drift), same precedence
+    (empty -> cjk -> bn -> no-tokens -> stopword argmax with lexicographic
+    ties -> latin default), same raw IEEE divisions (no rounding)."""
+    from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+        LANG_PROFILES)
+    langs = [l for l in sorted(LANG_PROFILES) if LANG_PROFILES[l]]
+    fracs = ", ".join(
+        "CAST(len(list_filter(tk, x -> list_contains([%s], x))) AS DOUBLE)"
+        " / greatest(len(tk), 1) AS f_%s" % (
+            ", ".join(_sql_quote(w) for w in sorted(LANG_PROFILES[l])), l)
+        for l in langs)
+    best = "greatest(%s)" % ", ".join(f"f_{l}" for l in langs)
+    ladder = ""
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"f_{l} >= f_{m}" for m in langs[i + 1:])
+        ladder += f"WHEN {conds} THEN '{l}' "
+    ladder += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+feat AS (
+  SELECT doc_id, t,
+    len(regexp_extract_all(t, '[一-鿿]')) AS cjk,
+    len(regexp_extract_all(t, '[ঀ-৿]')) AS bn,
+    greatest(len(regexp_extract_all(t, '\\p{{L}}')), 1) AS alpha,
+    regexp_extract_all(lower(t), '\\S+') AS tk
+  FROM base),
+frac AS (SELECT doc_id, t, cjk, bn, alpha, len(tk) AS nt, {fracs} FROM feat)
+SELECT doc_id,
+  CASE WHEN t = '' THEN 'und'
+       WHEN CAST(cjk AS DOUBLE) / alpha > 0.3 THEN 'zh'
+       WHEN CAST(bn AS DOUBLE) / alpha > 0.3 THEN 'bn'
+       WHEN nt = 0 THEN 'und'
+       WHEN {best} = 0 THEN 'en'
+       {ladder} AS lang_pred,
+  CASE WHEN t = '' THEN 0.0
+       WHEN CAST(cjk AS DOUBLE) / alpha > 0.3 THEN CAST(cjk AS DOUBLE) / alpha
+       WHEN CAST(bn AS DOUBLE) / alpha > 0.3 THEN CAST(bn AS DOUBLE) / alpha
+       WHEN nt = 0 THEN 0.0
+       ELSE {best} END AS lang_score
+FROM frac"""
+
+
+def _value_bands_sql() -> str:
+    edges, labels = _VALUE_BANDS
+    rows = ", ".join(
+        f"({_sql_quote(l)}, CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+        for l, lo, hi in zip(labels, edges, edges[1:]))
+    return (
+        "SELECT b.band, b.lo, b.hi, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents "
+        f"FROM events e JOIN (VALUES {rows}) AS b(band, lo, hi) "
+        "ON e.value >= b.lo AND e.value < b.hi "
+        "GROUP BY b.band, b.lo, b.hi ORDER BY b.lo")
 
 
 _STOP_PAT = r"\b(the|a|an|and|or|of|to|in|is|for)\b"
@@ -448,4 +579,43 @@ def oracle_sql() -> dict[str, str]:
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+        "lang_id_docs": _lang_id_sql(),
+        "customer_revenue_topk": (
+            "SELECT o.o_custkey, "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_orders, c.c_name "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_custkey, c.c_name "
+            "ORDER BY revenue_cents DESC, o.o_custkey LIMIT 10"),
+        "events_sessionized": (f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+            > {_SESSION_GAP_S * 1_000_000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts_us,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us)
+         AS BIGINT) AS session_id
+  FROM e)
+SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+  COUNT(*) AS n_events, MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_id"""),
+        "asof_signup_attribution": (
+            "SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, "
+            "s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND p.ts >= s.ts"),
+        "events_value_bands": _value_bands_sql(),
+        "events_hourly": (
+            "SELECT epoch_us(date_trunc('hour', ts)) AS window_us, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     }

@@ -12,4 +12,7 @@ Ray-Data-first over the ``documents`` / ``embeddings`` tables:
 - ``stats``          corpus statistics / grouped aggregates / top-k
 - ``multimodal``     binary-column plumbing with stubbed codecs
 - ``hashing``        shared deterministic hash primitives (no Ray)
+- ``relational``     broadcast hash join, join+top-k, gap sessionization,
+                     as-of join, static range join, tumbling windows
+- ``gazetteer_build`` dimension built from a labels table (A2/S7)
 """

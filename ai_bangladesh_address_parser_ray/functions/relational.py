@@ -1,0 +1,344 @@
+"""Relational operators for the training-data pipeline: broadcast hash
+join, join+top-k, gap sessionization, as-of join, static range join, and
+tumbling-window aggregates.
+
+These go beyond the reference's operator set (the brief's "operations a
+large-scale training-data pipeline would need"); each is expressed
+Ray-Data-first and shuffle-minimal:
+
+- Small dimension sides are broadcast ONCE via ``ray.put`` as zero-copy
+  buffers (sorted ``int64`` key vector + Arrow payload arrays), looked up
+  with ``np.searchsorted`` inside ``map_batches`` — never a distributed
+  join shuffle, never per-task dict/Index deserialization.
+- Order-dependent operators (sessionize, as-of) hash-bucket rows by the
+  partition key (``key % n_buckets``) and run ONE vectorized numpy kernel
+  per bucket group, so the shuffle moves each row once and the per-group
+  Python-call overhead is O(buckets), not O(keys). The partitioning
+  assumption: all rows of one key fit in one bucket group's memory —
+  true for per-user event streams (the hot key is bounded by one user's
+  history, not the corpus).
+- Money sums are computed in integer cents (``round(x*100)`` as int64) so
+  distributed partial aggregation is exact and bit-identical to any SQL
+  engine regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Sum
+
+_US_PER_S = 1_000_000
+
+
+def _ts_us(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """timestamp[*] -> int64 epoch microseconds (DuckDB ``epoch_us``)."""
+    return pc.cast(pc.cast(arr, pa.timestamp("us")), pa.int64())
+
+
+def _cents(arr) -> pa.ChunkedArray:
+    """double dollars -> int64 cents, half-away-from-zero like SQL round."""
+    return pc.cast(pc.round(pc.multiply(pc.cast(arr, pa.float64()), 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
+# ------------------------------------------------------ broadcast join ----
+
+def broadcast_join(ds, right: pa.Table, left_on: str, right_on: str,
+                   payload: list[str] | None = None):
+    """Left broadcast hash join on an int64 key.
+
+    ``right`` must be driver-small (a dimension). It is sorted by key and
+    shipped once through the object store as a numpy key vector plus Arrow
+    payload columns — zero-copy reads in every map task, no shuffle of the
+    big side, no per-task hashtable build (``np.searchsorted`` per batch).
+    Unmatched left rows keep nulls in the payload columns.
+    """
+    payload = payload or [c for c in right.column_names if c != right_on]
+    keys = right[right_on].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    cols = {c: right[c].combine_chunks().take(pa.array(order))
+            for c in payload}
+    ref = ray.put((keys, cols))
+
+    def _join(batch: pa.Table) -> pa.Table:
+        k_arr, p_cols = ray.get(ref)
+        if len(k_arr) == 0:
+            out = batch
+            for c, arr in p_cols.items():
+                out = out.append_column(c, pa.nulls(len(batch), arr.type))
+            return out
+        bk = batch[left_on].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(k_arr, bk)
+        idx_c = np.minimum(idx, len(k_arr) - 1)
+        hit = k_arr[idx_c] == bk
+        take = pa.array(np.where(hit, idx_c, -1), pa.int64())
+        take = pc.if_else(pc.equal(take, -1), pa.scalar(None, pa.int64()),
+                          take)
+        out = batch
+        for c, arr in p_cols.items():
+            out = out.append_column(c, arr.take(take))
+        return out
+
+    return ds.map_batches(_join, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def revenue_topk(orders_ds, customer: pa.Table, k: int = 10):
+    """Per-customer order revenue top-k with the customer name joined in.
+
+    Pre-aggregates integer-cent revenue per custkey (partial combine inside
+    the groupby), broadcast-joins the small customer dim, then sorts only
+    the one-row-per-customer aggregate. Ties break on ascending custkey.
+    """
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "revenue_cents": _cents(batch["o_totalprice"]),
+        })
+
+    agg = (orders_ds.map_batches(_prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("o_custkey")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Count("revenue_cents", alias_name="n_orders")))
+    joined = broadcast_join(agg, customer, "o_custkey", "c_custkey",
+                            payload=["c_name"])
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
+                                -1))
+
+    return (joined.map_batches(_neg, batch_format="pyarrow")
+            .sort(["_neg", "o_custkey"]).limit(k).drop_columns(["_neg"]))
+
+
+# -------------------------------------------------------- sessionization ----
+
+def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 64):
+    """Gap-based sessionization: one session row per maximal run of a
+    user's events with inter-event gaps <= ``gap_s``.
+
+    Rows are hash-bucketed by ``user_id % n_buckets``; each bucket group is
+    ONE numpy kernel (lexsort + diff + cumsum + reduceat), so the per-group
+    Python overhead is O(n_buckets) and the shuffle moves each row once.
+    Output: user_id, session_id (1-based per user in time order),
+    start_us, end_us, n_events, duration_us.
+    """
+    gap_us = gap_s * _US_PER_S
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64())
+        return pa.table({
+            "user_id": uid,
+            "ts_us": _ts_us(batch["ts"]),
+            "bucket": pc.cast(
+                pc.bit_wise_and(uid, n_buckets - 1), pa.int32()),
+        })
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = group["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        new_user = np.empty(len(uid), bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        new_sess = new_user.copy()
+        np.greater(ts[1:] - ts[:-1], gap_us, out=new_sess[1:])
+        new_sess |= new_user
+        starts = np.flatnonzero(new_sess)
+        sid_global = np.cumsum(new_sess) - 1          # 0-based over bucket
+        # per-user 1-based ordinal: subtract the user's first session id
+        user_first = sid_global[np.flatnonzero(new_user)]
+        user_ord = np.cumsum(new_user) - 1
+        session_id = sid_global - user_first[user_ord] + 1
+        ends = np.r_[starts[1:], len(uid)] - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(session_id[starts], pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "duration_us": pa.array(ts[ends] - ts[starts], pa.int64()),
+        })
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be 2^k"
+    return (events_ds.map_batches(_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(_sessions, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ as-of join ----
+
+def asof_join(left_ds, right_ds, by: str, on_us: str,
+              right_payload: list[str], n_buckets: int = 64):
+    """Partitioned as-of join: for each left row, the right row with the
+    greatest ``on_us`` <= left's ``on_us`` within the same ``by`` key
+    (DuckDB ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``).
+
+    Both sides are tagged and unioned, hash-bucketed on ``by``, and each
+    bucket group resolves matches with ONE vectorized last-seen scan
+    (monotone index cummax segmented by key-group start — a leaked index
+    from the previous key is always < the group start, so the same compare
+    that validates the match also fences the segments). Right payload
+    columns must not collide with left column names.
+
+    Scale notes: the shuffle moves each row once; per-key history must fit
+    in one bucket group. Equal ``on_us`` on both sides matches (right
+    sorts first); ties between right rows at the same instant resolve to
+    the later row in (on_us, tag) sort order — make ``on_us`` unique per
+    key for fully deterministic output.
+    """
+    left_cols = None
+
+    def _tag(side: int, keep: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            key = pc.cast(batch[by], pa.int64())
+            cols = {by: key, on_us: pc.cast(batch[on_us], pa.int64()),
+                    "__tag": pa.array(np.full(len(batch), side, np.int8)),
+                    "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1),
+                                      pa.int32())}
+            for c in keep:
+                cols[c] = batch[c]
+            return pa.table(cols)
+        return _f
+
+    lc = [c for c in left_ds.schema().names if c not in (by, on_us)]
+    left_cols = lc
+    tagged_l = left_ds.map_batches(_tag(1, lc), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    tagged_r = right_ds.map_batches(_tag(0, right_payload),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    # union with schema alignment: each side nulls the other's payload
+    def _align(names, types):
+        def _f(batch: pa.Table) -> pa.Table:
+            out = batch
+            for n, t in zip(names, types):
+                if n not in out.column_names:
+                    out = out.append_column(
+                        n, pa.nulls(len(out), t))
+            return out
+        return _f
+
+    r_schema = tagged_r.schema()
+    l_schema = tagged_l.schema()
+    r_types = [r_schema.types[r_schema.names.index(c)]
+               for c in right_payload]
+    l_types = [l_schema.types[l_schema.names.index(c)] for c in left_cols]
+    tagged_l = tagged_l.map_batches(_align(right_payload, r_types),
+                                    batch_format="pyarrow")
+    tagged_r = tagged_r.map_batches(_align(left_cols, l_types),
+                                    batch_format="pyarrow")
+    all_names = [by, on_us, "__tag", "bucket"] + left_cols + right_payload
+    both = tagged_l.select_columns(all_names) \
+        .union(tagged_r.select_columns(all_names))
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        key = group[by].combine_chunks().to_numpy(zero_copy_only=False)
+        on = group[on_us].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = group["__tag"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((tag, on, key))
+        key, on, tag = key[o], on[o], tag[o]
+        n = len(key)
+        grp_start = np.empty(n, np.int64)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_key[1:])
+        grp_start[new_key] = np.flatnonzero(new_key)
+        grp_start = np.maximum.accumulate(
+            np.where(new_key, grp_start, -1))
+        ridx = np.where(tag == 0, np.arange(n), -1)
+        last_r = np.maximum.accumulate(ridx)
+        is_left = tag == 1
+        match = last_r[is_left]
+        valid = match >= grp_start[is_left]
+        take_r = pa.array(np.where(valid, o[np.maximum(match, 0)], -1),
+                          pa.int64())
+        take_r = pc.if_else(pc.equal(take_r, -1),
+                            pa.scalar(None, pa.int64()), take_r)
+        take_l = pa.array(o[is_left], pa.int64())
+        cols = {by: pa.array(key[is_left], pa.int64()),
+                on_us: pa.array(on[is_left], pa.int64())}
+        for c in left_cols:
+            cols[c] = group[c].combine_chunks().take(take_l)
+        for c in right_payload:
+            cols[c] = group[c].combine_chunks().take(take_r)
+        return pa.table(cols)
+
+    assert n_buckets & (n_buckets - 1) == 0
+    return both.groupby("bucket").map_groups(
+        _resolve, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ range join ----
+
+def range_join_agg(events_ds, edges: list[float], labels: list[str],
+                   value_col: str = "value"):
+    """Static range (band) join + aggregate: each row lands in the band
+    with ``edges[i] <= value < edges[i+1]``; rows outside all bands drop
+    (SQL inner ``JOIN bands ON v >= lo AND v < hi``).
+
+    The band table is broadcast implicitly (it's a constant captured by
+    the batch fn); banding is one ``np.searchsorted`` per batch, and the
+    per-band aggregate pre-combines inside map tasks. Value sums are
+    integer cents so the distributed combine is exact.
+    """
+    assert len(labels) == len(edges) - 1
+    e = np.asarray(edges, np.float64)
+    lab = np.asarray(labels, object)
+
+    def _band(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        i = np.searchsorted(e, v, side="right") - 1
+        ok = (i >= 0) & (i < len(lab)) & (v >= e[0]) & (v < e[-1])
+        i_ok = i[ok]
+        return pa.table({
+            "band": pa.array(lab[i_ok], pa.string()),
+            "lo": pa.array(e[i_ok], pa.float64()),
+            "hi": pa.array(e[i_ok + 1], pa.float64()),
+            "value_cents": _cents(pa.array(v[ok])),
+        })
+
+    return (events_ds.map_batches(_band, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby(["band", "lo", "hi"])
+            .aggregate(Count("value_cents", alias_name="n"),
+                       Sum("value_cents", alias_name="sum_value_cents"))
+            .sort("lo"))
+
+
+# --------------------------------------------------------- window agg ----
+
+def tumbling_window_agg(events_ds, width_s: int = 3600):
+    """Tumbling-window aggregate: (window_start, event_type) -> count +
+    exact cent sum. Window assignment is embarrassingly parallel; the
+    groupby shuffles pre-aggregated partials (one row per window x type
+    per block)."""
+    w_us = width_s * _US_PER_S
+
+    def _win(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        return pa.table({
+            "window_us": pc.multiply(pc.divide(ts, w_us), w_us),
+            "event_type": batch["event_type"],
+            "value_cents": _cents(batch["value"]),
+        })
+
+    return (events_ds.map_batches(_win, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby(["window_us", "event_type"])
+            .aggregate(Count("value_cents", alias_name="n"),
+                       Sum("value_cents", alias_name="sum_value_cents"))
+            .sort(["window_us", "event_type"]))

@@ -10,8 +10,9 @@ Generalizes the reference's per-string analyzers (script-ratio detector
 ``/root/reference/src/core/stages/script_detector.py:10-39``, completeness
 validator ``src/core/utils/address_utils.py:9-66``) from one address string
 to corpus scale. Counting/ratio ops are pure ``pyarrow.compute`` kernel
-chains (zero Python per row); ratios are rounded to 6 decimals so the
-distributed result is bit-comparable with the DuckDB oracle.
+chains (zero Python per row); ratios and scores are raw IEEE divisions of
+integer counts — identical operand order on the Ray and SQL sides — so the
+distributed result is bit-identical with the DuckDB oracle, no rounding.
 """
 
 from __future__ import annotations
@@ -101,10 +102,13 @@ def lang_id_one(text: str) -> tuple:
     cjk = sum(1 for c in text if _CJK[0] <= ord(c) <= _CJK[1])
     bn = sum(1 for c in text if _BN[0] <= ord(c) <= _BN[1])
     alpha = sum(1 for c in text if c.isalpha()) or 1
+    # scores are raw IEEE divisions (no rounding): int/int double division
+    # is bit-identical across numpy, Python and SQL engines, which keeps
+    # the lang_id oracle hash-exact (module float policy)
     if cjk / alpha > 0.3:
-        return "zh", round(cjk / alpha, 6)
+        return "zh", cjk / alpha
     if bn / alpha > 0.3:
-        return "bn", round(bn / alpha, 6)
+        return "bn", bn / alpha
     toks = text.lower().split()
     if not toks:
         return "und", 0.0
@@ -119,7 +123,7 @@ def lang_id_one(text: str) -> tuple:
             best_lang, best = lang, frac
     if best == 0.0:
         return "en", 0.0   # latin-script default
-    return best_lang, round(best, 6)
+    return best_lang, best
 
 
 def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
@@ -160,7 +164,7 @@ def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     best_i = np.argmax(fracs, axis=0)      # first max == lexicographic tie
     best = fracs[best_i, np.arange(n)]
     lang_arr = np.array(langs_sorted, dtype=object)[best_i]
-    score = np.round(best, 6)
+    score = best
     # latin-script default when no stopword hit
     lang_arr = np.where(best == 0.0, "en", lang_arr)
     score = np.where(best == 0.0, 0.0, score)
@@ -174,9 +178,9 @@ def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     bn_hit = ~empty & (bn_ratio > 0.3)
     cjk_hit = ~empty & (cjk_ratio > 0.3)
     lang_arr = np.where(bn_hit, "bn", lang_arr)
-    score = np.where(bn_hit, np.round(bn_ratio, 6), score)
+    score = np.where(bn_hit, bn_ratio, score)
     lang_arr = np.where(cjk_hit, "zh", lang_arr)
-    score = np.where(cjk_hit, np.round(cjk_ratio, 6), score)
+    score = np.where(cjk_hit, cjk_ratio, score)
     lang_arr = np.where(empty, "und", lang_arr)
     score = np.where(empty, 0.0, score)
     return pa.table({

@@ -51,14 +51,13 @@ def connected_components(edges, num_partitions: int = 32,
     Two physical strategies, same semantics:
 
     - **broadcast** (label table fits one worker's heap, <= broadcast_limit
-      nodes): per round, the int64 parent vector is ``ray.put`` once and
-      every edge block computes a dense per-block min-neighbor-label vector
-      in a map task (no shuffle); the partials are folded by a TREE of Ray
-      tasks (arity 8) so the driver only ever sees the single reduced
-      vector, then fully path-compresses the label forest between rounds
-      (pointer jumping), so convergence is O(log diameter) rounds. Edge
-      blocks stream — only the 8-byte/node parent vector lives on the
-      driver.
+      nodes): single-pass two-level union-find — each edge block computes
+      its LOCAL min-label closure and emits a sparse star forest (touched
+      node -> local min), a TREE of tasks (arity 8) union-finds the
+      forests, and the driver scatters the one final (node, root) forest
+      into the identity parent vector. No rounds, no per-round parent
+      broadcast, and per-task output tracks block edges (not the node
+      universe), so the phase keeps scaling as tasks are added.
     - **hash-join** (label table too big to broadcast): iterative
       hash-partitioned min-label propagation — edges x labels join,
       groupby(src).min(label), left join back — plus a pointer-jumping
@@ -255,15 +254,13 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
     (distributed per-block uniques, tree merge), the DIRECTED string edge
     list is converted to SYMMETRIC (src_idx, dst_idx) int64 blocks in ONE
     pass (both directions emitted as int rows, so no symmetric string
-    table is ever built), and each round broadcasts only the int64 parent
-    vector (8 bytes/node). Map tasks emit per-block DENSE min-label
-    vectors which a TREE of Ray tasks folds with np.minimum — the driver
-    never iterates partials, it ray.gets exactly one reduced vector per
-    round, then fully path-compresses by repeated parent = parent[parent]
-    (pointer jumping, O(log diameter) vectorized passes). Index rank
-    preserves lexicographic node order, so min-index == min node_id — the
-    same deterministic cluster_id as the hash-join strategy. Duplicate
-    edges cost one int row each — no dedup shuffle needed upstream."""
+    table is ever built), then a single-pass TWO-LEVEL union-find resolves
+    components: per-block local closure -> sparse star forests -> a tree
+    of union-find merge tasks -> one final (node, root) forest scattered
+    into the parent vector on the driver. Index rank preserves
+    lexicographic node order, so min-index == min node_id — the same
+    deterministic cluster_id as the hash-join strategy. Duplicate edges
+    cost one int row each — no dedup shuffle needed upstream."""
     import os
     import time
     import numpy as np
@@ -333,56 +330,82 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
                    .map_batches(_to_idx, batch_format="pyarrow",
                                 zero_copy_batch=True) \
                    .repartition(cpus).materialize()   # few fat int blocks:
-    # per-round wall = max block compute, not per-block dispatch overhead
+    # fatter blocks close more edges locally, shrinking merge inputs
     block_refs = sym_idx.to_arrow_refs()
     _mark("to_idx+repartition")
 
-    # 3. per-round: broadcast parent, per-block LOCAL CLOSURE in tasks
-    # (iterated min-propagation + pointer jumping over the block's own
-    # edges until the block's fixed point — hop reach per GLOBAL round is
-    # the whole block subgraph, not 1, so global rounds ~ block-graph
-    # diameter, typically 2-3), TREE-reduce (arity 8) in tasks, driver
-    # folds ONE vector.
+    # 3. ONE distributed pass, two-level union-find (no rounds):
+    #    a. per block, LOCAL closure over the block's own edges (min-label
+    #       fixed point from the identity labeling in a COMPRESSED local id
+    #       space), emitting a SPARSE star forest (touched node -> local
+    #       min label). Output bytes track the block's edge count, not the
+    #       universe — the dense-vector design this replaces returned
+    #       O(universe) bytes per task, so adding tasks at higher CPU
+    #       counts ADDED total work and made the phase anti-scale.
+    #    b. a TREE of merge tasks (arity 8) union-finds the star forests
+    #       pairwise-associatively: each merge runs the same vectorized
+    #       min-propagation over the concatenated (node, label) pairs in
+    #       its own compressed id space and re-emits a contracted forest.
+    #    c. the driver receives ONE final (node, root) forest and scatters
+    #       it into the identity parent vector. Exact: each block's star
+    #       forest preserves its subgraph's connectivity, and union-find
+    #       over a union of forests is the closure of the union.
+    def _min_fixpoint(par, a, b):
+        """par <- per-component min over the union of (a<->b) links.
+
+        BOTH propagation directions every sweep: one-directional
+        min-scatter loses links like stars {3->1},{3->0} (node 1 never
+        learns 0 through 3), and repartitioned edge blocks are not
+        guaranteed to hold both directions of an edge."""
+        while True:
+            new = par.copy()
+            np.minimum.at(new, a, par[b])
+            np.minimum.at(new, b, par[a])
+            np.minimum(new, new[new], out=new)     # pointer jump
+            if np.array_equal(new, par):
+                return par
+            par = new
+
     @ray.remote(num_cpus=1)
-    def _prop_block(block: pa.Table, par: np.ndarray, n: int) -> np.ndarray:
+    def _local_star(block: pa.Table):
         si = block["si"].to_numpy()
         di = block["di"].to_numpy()
-        cand = par.copy()
-        while True:
-            new = cand.copy()
-            np.minimum.at(new, si, cand[di])
-            np.minimum(new, new[new], out=new)     # local pointer jump
-            if np.array_equal(new, cand):
-                return new
-            cand = new
+        if len(si) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # repartition may split an edge's two directions across blocks:
+        # the local universe must cover BOTH endpoint columns
+        touched = np.unique(np.concatenate([si, di]))
+        lsi = np.searchsorted(touched, si)
+        ldi = np.searchsorted(touched, di)
+        par = _min_fixpoint(np.arange(len(touched), dtype=np.int64),
+                            lsi, ldi)
+        return touched, touched[par]
 
     @ray.remote(num_cpus=1)
-    def _min_merge(*vecs: np.ndarray) -> np.ndarray:
-        return np.minimum.reduce(vecs)
+    def _star_merge(*parts):
+        idxs = np.concatenate([p[0] for p in parts])
+        lbls = np.concatenate([p[1] for p in parts])
+        local = np.unique(np.concatenate([idxs, lbls]))
+        a = np.searchsorted(local, idxs)
+        b = np.searchsorted(local, lbls)
+        par = _min_fixpoint(np.arange(len(local), dtype=np.int64), a, b)
+        # contract: emit only non-root nodes (roots map to themselves)
+        keep = par != np.arange(len(local))
+        return local[keep], local[par[keep]]
 
     ARITY = 8
-    for _round in range(max_rounds):
-        parent_ref = ray.put(parent)
-        partials = [_prop_block.remote(ref, parent_ref, n)
-                    for ref in block_refs]
-        while len(partials) > 1:
-            partials = [_min_merge.remote(*partials[i:i + ARITY])
-                        for i in range(0, len(partials), ARITY)]
-        cand = ray.get(partials[0])
-        changed = int((cand < parent).sum())
-        parent = np.minimum(parent, cand)
-        # pointer jumping to full compression (vectorized)
-        while True:
-            nxt = parent[parent]
-            if np.array_equal(nxt, parent):
-                break
-            parent = nxt
-        _mark(f"round{_round} (changed={changed})")
-        if changed == 0:
-            break
+    partials = [_local_star.remote(ref) for ref in block_refs]
+    while len(partials) > 1:
+        partials = [_star_merge.remote(*partials[i:i + ARITY])
+                    for i in range(0, len(partials), ARITY)]
+    idxs, lbls = ray.get(partials[0])
+    parent[idxs] = lbls
+    # roots of merged stars are already component minima; nodes that were
+    # only ever roots keep their identity label
+    _mark(f"two_level_fold ({len(idxs)} mapped)")
 
     LAST_RUN_INFO.clear()
-    LAST_RUN_INFO.update({"strategy": "broadcast", "rounds": _round + 1,
+    LAST_RUN_INFO.update({"strategy": "broadcast", "rounds": 1,
                           "converged": True, "n_nodes": n})
     tbl = pa.table({"node_id": pa.array(nodes, pa.string()),
                     "cluster_id": pa.array(nodes[parent], pa.string())})

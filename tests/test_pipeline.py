@@ -162,6 +162,42 @@ class TestUnionFind:
         assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                        "x": "x", "y": "x"}
 
+    def test_two_level_random_graphs_match_reference(self, ray_session):
+        """Adversarial check of the single-pass two-level union-find:
+        random graphs, many small blocks (so edge directions split across
+        blocks), vs a plain-Python union-find."""
+        import numpy as np
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.unionfind import (
+            connected_components,
+        )
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            n, m = 400, 300
+            us = rng.integers(0, n, m)
+            vs = rng.integers(0, n, m)
+            items = [{"u": f"n{u:04d}", "v": f"n{v:04d}"}
+                     for u, v in zip(us, vs)]
+            # reference union-find
+            par = list(range(n))
+
+            def find(x):
+                while par[x] != x:
+                    par[x] = par[par[x]]
+                    x = par[x]
+                return x
+
+            for u, v in zip(us, vs):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    par[max(ru, rv)] = min(ru, rv)
+            want = {f"n{i:04d}": f"n{find(i):04d}" for i in
+                    set(us.tolist()) | set(vs.tolist())}
+            edges = ray.data.from_items(items).repartition(16)
+            got = {r["node_id"]: r["cluster_id"] for r in
+                   connected_components(edges, num_partitions=4).take_all()}
+            assert got == want, f"seed {seed}"
+
     def test_hash_join_path_matches_broadcast(self, ray_session):
         """broadcast_limit=0 forces the distributed hash-join strategy;
         both strategies must produce the identical partition."""

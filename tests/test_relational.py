@@ -1,0 +1,181 @@
+"""Relational/stream operators (functions/relational.py) vs DuckDB oracles.
+
+Each test runs the Ray pipeline and the equivalent SQL over the same
+sf0.001 driver tables and asserts exact frame equality (int64 cents /
+epoch-us outputs, so no float tolerance is needed anywhere)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pandas.testing import assert_frame_equal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["events", "orders", "customer"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _cmp(ds, sql):
+    got = _norm(ds.to_pandas())
+    want = _norm(_con().execute(sql).fetch_df())
+    assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBroadcastJoin:
+    def test_left_join_with_misses(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            broadcast_join)
+        right = pa.table({"k": pa.array([2, 5, 9], pa.int64()),
+                          "name": ["b", "e", "i"]})
+        ds = ray.data.from_arrow(pa.table(
+            {"k": pa.array([1, 2, 5, 9, 9, 42], pa.int64())}))
+        out = _norm(broadcast_join(ds, right, "k", "k").to_pandas())
+        assert list(out["name"]) == [None, "b", "e", "i", "i", None]
+
+    def test_orders_customer_names(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            broadcast_join)
+        customer = pq.read_table(f"{SF}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+        orders = ray.data.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        _cmp(broadcast_join(orders, customer, "o_custkey", "c_custkey"),
+             "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o "
+             "LEFT JOIN customer c ON o.o_custkey = c.c_custkey")
+
+
+class TestRevenueTopk:
+    def test_matches_sql(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            revenue_topk)
+        customer = pq.read_table(f"{SF}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+        orders = ray.data.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        _cmp(revenue_topk(orders, customer, k=10),
+             "SELECT o.o_custkey, CAST(SUM(CAST(round(o.o_totalprice * 100)"
+             " AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS "
+             "n_orders, c.c_name FROM orders o JOIN customer c ON "
+             "o.o_custkey = c.c_custkey GROUP BY o.o_custkey, c.c_name "
+             "ORDER BY revenue_cents DESC, o.o_custkey LIMIT 10")
+
+
+class TestSessionize:
+    def test_matches_sql(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            sessionize)
+        ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                                   columns=["user_id", "ts"])
+        _cmp(sessionize(ev, gap_s=1800), """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts_us, CAST(SUM(new_s) OVER
+      (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id FROM e)
+SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+  COUNT(*) AS n_events, MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_id""")
+
+    def test_gap_boundary_and_singletons(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            sessionize)
+        us = 1_000_000
+        tbl = pa.table({
+            "user_id": pa.array([7, 7, 7, 7, 3], pa.int64()),
+            # gaps: exactly 1800s (same session), 1801s (new session)
+            "ts": pa.array([0, 1800 * us, 1800 * us + 1801 * us,
+                            1800 * us + 1801 * us + 5, 99 * us],
+                           pa.timestamp("us")),
+        })
+        out = sessionize(ray.data.from_arrow(tbl), gap_s=1800) \
+            .to_pandas().sort_values(["user_id", "session_id"]) \
+            .reset_index(drop=True)
+        assert out[out.user_id == 7].n_events.tolist() == [2, 2]
+        assert out[out.user_id == 3].n_events.tolist() == [1]
+        assert out[out.user_id == 7].session_id.tolist() == [1, 2]
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["asof_signup_attribution"](SF),
+             E.oracle_sql()["asof_signup_attribution"])
+
+    def test_no_prior_right_row_is_null(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            asof_join)
+        left = ray.data.from_arrow(pa.table({
+            "u": pa.array([1, 1, 2], pa.int64()),
+            "t": pa.array([5, 50, 10], pa.int64()),
+            "lid": pa.array([100, 101, 102], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "u": pa.array([1, 1, 3], pa.int64()),
+            "t": pa.array([10, 50, 1], pa.int64()),
+            "rid": pa.array([900, 901, 903], pa.int64())}))
+        out = asof_join(left, right, by="u", on_us="t",
+                        right_payload=["rid"]).to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        # lid=100: t=5 before any right for u=1 -> null
+        # lid=101: t=50 matches rid=901 (equal timestamps join)
+        # lid=102: u=2 has no right rows -> null (u=3 must not leak)
+        assert np.isnan(out.rid[0]) and np.isnan(out.rid[2])
+        assert out.rid[1] == 901
+
+
+class TestRangeAndWindow:
+    def test_value_bands_matches_sql(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["events_value_bands"](SF),
+             E.oracle_sql()["events_value_bands"])
+
+    def test_hourly_matches_sql(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["events_hourly"](SF),
+             E.oracle_sql()["events_hourly"])
+
+    def test_out_of_band_rows_drop(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            range_join_agg)
+        ds = ray.data.from_arrow(pa.table(
+            {"value": pa.array([-1.0, 0.0, 99.99, 100.0, 999.99, 1000.0])}))
+        out = range_join_agg(ds, [0.0, 100.0, 250.0, 1000.0],
+                             ["low", "mid", "high"]).to_pandas()
+        assert out.set_index("band").n.to_dict() == {
+            "low": 2, "mid": 1, "high": 1}
+
+
+class TestLangIdOracle:
+    def test_matches_sql(self, ray_session):
+        import __ray_entry__ as E
+        got = _norm(E.queries()["lang_id_docs"](SF).to_pandas())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = _norm(con.execute(E.oracle_sql()["lang_id_docs"]).fetch_df())
+        # exact float equality on scores: both sides are the same raw
+        # int/int IEEE division
+        assert_frame_equal(got, want, check_dtype=False, check_exact=True)
