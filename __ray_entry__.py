@@ -347,6 +347,62 @@ def _q_events_hourly(sf_dir):
     return F_rel.tumbling_window_agg(ev, width_s=3600)
 
 
+_SLIDE = (7200, 3600)        # width_s, slide_s
+
+
+def _q_events_sliding(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return F_rel.sliding_window_agg(ev, *_SLIDE)
+
+
+_Q3_CUTOFF = "1998-06-01"
+_Q5_RANGE = ("1997-01-01", "1998-01-01")
+_Q5_REGION = "ASIA"
+
+
+def _date_us(d: str) -> int:
+    return int(np.datetime64(d, "us").astype(np.int64))
+
+
+def _q_unshipped_topk(sf_dir):
+    import pyarrow.parquet as pq
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    return F_rel.unshipped_revenue_topk(
+        lineitem, orders, customer, segment="BUILDING",
+        cutoff_us=_date_us(_Q3_CUTOFF), k=10)
+
+
+def _q_regional_volume(sf_dir):
+    import pyarrow.parquet as pq
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    rd = lambda t, cols: pq.read_table(f"{sf_dir}/{t}.parquet",
+                                       columns=cols)
+    return F_rel.regional_supplier_volume(
+        lineitem, orders,
+        rd("customer", ["c_custkey", "c_nationkey"]),
+        rd("supplier", ["s_suppkey", "s_nationkey"]),
+        rd("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rd("region", ["r_regionkey", "r_name"]),
+        region_name=_Q5_REGION,
+        t0_us=_date_us(_Q5_RANGE[0]), t1_us=_date_us(_Q5_RANGE[1]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -368,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_signup_attribution": _q_asof_attribution,
         "events_value_bands": _q_value_bands,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "unshipped_revenue_topk": _q_unshipped_topk,
+        "regional_nation_volume": _q_regional_volume,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "linkage_clusters": _q_linkage,
         "extract_turn_components": _q_extract,
@@ -618,4 +677,42 @@ FROM s GROUP BY user_id, session_id"""),
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_value_cents "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+        "events_sliding": (
+            f"SELECT ((epoch_us(ts) // {_SLIDE[1] * 1_000_000}) - g.k) "
+            f"* {_SLIDE[1] * 1_000_000} AS window_us, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents FROM events CROSS JOIN "
+            f"generate_series(0, {_SLIDE[0] // _SLIDE[1] - 1}) AS g(k) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "unshipped_revenue_topk": (
+            "SELECT l.l_orderkey, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o.o_orderpriority "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            f"WHERE c.c_mktsegment = 'BUILDING' "
+            f"AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}' "
+            f"AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}' "
+            "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+            "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"),
+        "regional_nation_volume": (
+            "SELECT n.n_name, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer c, orders o, lineitem l, supplier s, "
+            "nation n, region r "
+            "WHERE c.c_custkey = o.o_custkey "
+            "AND l.l_orderkey = o.o_orderkey "
+            "AND l.l_suppkey = s.s_suppkey "
+            "AND c.c_nationkey = s.s_nationkey "
+            "AND s.s_nationkey = n.n_nationkey "
+            "AND n.n_regionkey = r.r_regionkey "
+            f"AND r.r_name = '{_Q5_REGION}' "
+            f"AND o.o_orderdate >= TIMESTAMP '{_Q5_RANGE[0]}' "
+            f"AND o.o_orderdate < TIMESTAMP '{_Q5_RANGE[1]}' "
+            "GROUP BY n.n_name ORDER BY revenue_cents DESC, n.n_name"),
     }

@@ -51,14 +51,24 @@ def cmd_demo() -> int:
     return 0
 
 
-def cmd_batch(in_path: str, out_dir: str, detailed: bool) -> int:
+def cmd_batch(in_path: str, out_dir: str, detailed: bool,
+              text_col: str = "text", limit: int = 0) -> int:
     _init_ray()
+    import time
+
     import ray
     from .stages.extract import extract_stage
+    t0 = time.time()
     ds = ray.data.read_parquet(in_path)
-    ds = extract_stage(ds, text_column="text", detailed=detailed)
+    if limit:
+        ds = ds.limit(limit)
+    ds = extract_stage(ds, text_column=text_col, detailed=detailed)
     ds.write_parquet(out_dir)
-    print(f"wrote extracted batch to {out_dir}", file=sys.stderr)
+    n = ds.count()
+    dt = time.time() - t0
+    # the reference --batch logs addresses/second (:1256) — same headline
+    print(f"wrote {n} extracted rows to {out_dir} in {dt:.1f}s "
+          f"({n / max(dt, 1e-9):,.0f} addresses/second)", file=sys.stderr)
     return 0
 
 
@@ -85,6 +95,10 @@ def main(argv=None) -> int:
     p.add_argument("--detailed", action="store_true",
                    help="include debug evidence metadata")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--text-col", default="text",
+                   help="input column holding the address text (--batch)")
+    p.add_argument("--limit", type=int, default=0,
+                   help="only process the first N rows (--batch)")
     args = p.parse_args(argv)
 
     if args.address:
@@ -92,7 +106,8 @@ def main(argv=None) -> int:
     if args.demo:
         return cmd_demo()
     if args.batch:
-        return cmd_batch(args.batch[0], args.batch[1], args.detailed)
+        return cmd_batch(args.batch[0], args.batch[1], args.detailed,
+                         text_col=args.text_col, limit=args.limit)
     return cmd_linkage(args.linkage[0], args.linkage[1],
                        args.checkpoint_dir)
 

@@ -319,7 +319,261 @@ def range_join_agg(events_ds, edges: list[float], labels: list[str],
             .sort("lo"))
 
 
+# ------------------------------------------------------- big x big join ----
+
+def _live_partitions(cap: int = 32) -> int:
+    """Shuffle partition count sized to the LIVE cluster: join/groupby
+    aggregator pools sized >= the CPU count deadlock or thrash small
+    clusters (the 4-cpu test session), while a fixed small count starves
+    big ones."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(cap, cpus // 2))
+
+
+def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              join_type: str = "inner",
+              num_partitions: int | None = None):
+    """Distributed hash join for two BIG sides (neither fits a broadcast).
+
+    Thin, documented front over ``Dataset.join``: both sides are hash-
+    partitioned on the key into ``num_partitions`` shuffle partitions
+    (default: sized to the live cluster) and joined partition-wise — the
+    all-to-all exchange moves each row once. Use :func:`broadcast_join`
+    instead whenever one side is driver-small (dimension tables): it
+    avoids the shuffle entirely. Partitioning assumption: a single key's
+    rows fit in one partition's memory; salt hot keys upstream if a key
+    is corpus-scale (see ``stages/pairs.py`` for the two-level trick).
+    """
+    return left_ds.join(
+        right_ds, join_type=join_type,
+        num_partitions=num_partitions or _live_partitions(),
+        on=(on,), right_on=(right_on or on,))
+
+
+def _rev_cents(batch: pa.Table) -> pa.ChunkedArray:
+    """Exact integer-cent line revenue: round(price * (1-disc) * 100).
+
+    The float product is evaluated in the SAME operand order as the SQL
+    oracle expression, so the doubles agree bit-for-bit before the one
+    deterministic rounding."""
+    price = pc.cast(batch["l_extendedprice"], pa.float64())
+    disc = pc.cast(batch["l_discount"], pa.float64())
+    rev = pc.multiply(pc.multiply(price, pc.subtract(1.0, disc)), 100.0)
+    return pc.cast(pc.round(rev, round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
+def _date_str(ts_arr) -> pa.ChunkedArray:
+    """timestamp -> 'YYYY-MM-DD' string (dtype-stable across engines)."""
+    return pc.strftime(pc.cast(ts_arr, pa.timestamp("us")), format="%Y-%m-%d")
+
+
+def _isin_sorted(sorted_keys: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership against a broadcast SORTED int64 key vector."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(values), bool)
+    idx = np.clip(np.searchsorted(sorted_keys, values), 0,
+                  len(sorted_keys) - 1)
+    return sorted_keys[idx] == values
+
+
+def unshipped_revenue_topk(lineitem_ds, orders_ds, customer: pa.Table,
+                           segment: str, cutoff_us: int, k: int = 10,
+                           num_partitions: int | None = None):
+    """TPC-H Q3 shape: top-k revenue among orders of one market segment
+    placed before ``cutoff_us`` with line items still unshipped after it.
+
+    Plan (shuffle-minimal): the segment's custkeys broadcast once as a
+    sorted int64 vector (filter pushed into the orders map — no customer
+    shuffle); lineitem pre-aggregates integer-cent revenue per orderkey
+    BEFORE the join, so the big x big :func:`hash_join` moves one row per
+    surviving order, not one per line item; only the tiny top-k sort runs
+    on the driver side of the pipeline. Ties at the k boundary break on
+    ascending orderkey — deterministic under any partitioning.
+    """
+    seg_keys = np.sort(
+        customer.filter(pc.equal(customer["c_mktsegment"], segment))
+        ["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64))
+    seg_ref = ray.put(seg_keys)
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        ts = _ts_us(batch["o_orderdate"]).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ck = batch["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pa.array((ts < cutoff_us) & _isin_sorted(keys, ck))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": _date_str(t["o_orderdate"]),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["l_shipdate"])
+        t = batch.filter(pc.greater(ts, cutoff_us))
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "revenue_cents": _rev_cents(t),
+        })
+
+    rev = (lineitem_ds.map_batches(_lines, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    orders = orders_ds.map_batches(_orders, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    joined = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=num_partitions)
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
+                                -1))
+
+    return (joined.select_columns(["l_orderkey", "revenue_cents",
+                                   "o_orderdate", "o_orderpriority"])
+            .map_batches(_neg, batch_format="pyarrow")
+            .sort(["_neg", "l_orderkey"]).limit(k).drop_columns(["_neg"]))
+
+
+def regional_supplier_volume(lineitem_ds, orders_ds, customer: pa.Table,
+                             supplier: pa.Table, nation: pa.Table,
+                             region: pa.Table, region_name: str,
+                             t0_us: int, t1_us: int,
+                             num_partitions: int | None = None):
+    """TPC-H Q5 shape: per-nation revenue where the customer and the
+    supplier share a nation inside one region, for orders in a date range.
+
+    Plan: the four dimension sides (customer->nation, supplier->nation,
+    nation->name, region membership) broadcast once as sorted int64 key
+    vectors + payload arrays; the only shuffle is the big x big
+    lineitem ⋈ orders :func:`hash_join` on orderkey plus the final tiny
+    per-nation groupby of pre-combined cents."""
+    r_keys = region.filter(pc.equal(region["r_name"], region_name))
+    region_nkeys = np.sort(
+        nation.filter(pc.is_in(nation["n_regionkey"],
+                               value_set=r_keys["r_regionkey"]
+                               .combine_chunks()))
+        ["n_nationkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64))
+    nk = nation["n_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_order = np.argsort(nk, kind="stable")
+    nation_names = nation["n_name"].combine_chunks().take(
+        pa.array(n_order))
+
+    def _dim(tbl: pa.Table, key: str, val: str):
+        ks = tbl[key].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ks, kind="stable")
+        return ks[o], tbl[val].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[o]
+
+    dims_ref = ray.put((
+        _dim(customer, "c_custkey", "c_nationkey"),
+        _dim(supplier, "s_suppkey", "s_nationkey"),
+        region_nkeys, np.sort(nk),
+        nation_names.to_numpy(zero_copy_only=False)))
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        (ck, cn), _, _, _, _ = ray.get(dims_ref)
+        ts = _ts_us(batch["o_orderdate"]).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = (ts >= t0_us) & (ts < t1_us)
+        t = batch.filter(pa.array(keep))
+        cust = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c_nat = cn[np.clip(np.searchsorted(ck, cust), 0, len(ck) - 1)]
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_nation": pa.array(c_nat, pa.int64()),
+        })
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        _, (sk, sn), _, _, _ = ray.get(dims_ref)
+        supp = batch["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s_nat = sn[np.clip(np.searchsorted(sk, supp), 0, len(sk) - 1)]
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "s_nation": pa.array(s_nat, pa.int64()),
+            "revenue_cents": _rev_cents(batch),
+        })
+
+    orders = orders_ds.map_batches(_orders, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    lines = lineitem_ds.map_batches(_lines, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    joined = hash_join(lines, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=num_partitions)
+
+    def _filter_name(batch: pa.Table) -> pa.Table:
+        _, _, in_region, nk_sorted, names = ray.get(dims_ref)
+        sn = batch["s_nation"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cn = batch["c_nation"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = (sn == cn) & _isin_sorted(in_region, sn)
+        t = batch.filter(pa.array(keep))
+        sn_k = t["s_nation"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        name = names[np.searchsorted(nk_sorted, sn_k)]
+        return pa.table({
+            "n_name": pa.array(name, pa.string()),
+            "revenue_cents": t["revenue_cents"],
+        })
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
+                                -1))
+
+    return (joined.map_batches(_filter_name, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+            .map_batches(_neg, batch_format="pyarrow")
+            .sort(["_neg", "n_name"]).drop_columns(["_neg"]))
+
+
 # --------------------------------------------------------- window agg ----
+
+def sliding_window_agg(events_ds, width_s: int = 7200, slide_s: int = 3600):
+    """Sliding (hopping) window aggregate: every event lands in the
+    ``width_s / slide_s`` windows covering its timestamp; output one row
+    per (window_start, event_type) with count + exact cent sum.
+
+    The expansion factor is the constant ``width/slide`` (embarrassingly
+    parallel ``np.repeat`` per batch); the groupby shuffles pre-combined
+    partials only. ``width_s`` must be a multiple of ``slide_s``."""
+    assert width_s % slide_s == 0, "width must be a multiple of slide"
+    n_sub = width_s // slide_s
+    slide_us = slide_s * _US_PER_S
+
+    def _win(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"]).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        offs = (np.arange(n_sub, dtype=np.int64) * slide_us)
+        win = (np.repeat(base, n_sub).reshape(-1, n_sub) - offs).ravel()
+        rep = pa.array(np.repeat(np.arange(len(ts)), n_sub), pa.int64())
+        return pa.table({
+            "window_us": pa.array(win, pa.int64()),
+            "event_type": batch["event_type"].combine_chunks().take(rep),
+            "value_cents": _cents(batch["value"]).combine_chunks()
+            .take(rep),
+        })
+
+    return (events_ds.map_batches(_win, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby(["window_us", "event_type"])
+            .aggregate(Count("value_cents", alias_name="n"),
+                       Sum("value_cents", alias_name="sum_value_cents"))
+            .sort(["window_us", "event_type"]))
+
 
 def tumbling_window_agg(events_ds, width_s: int = 3600):
     """Tumbling-window aggregate: (window_start, event_type) -> count +

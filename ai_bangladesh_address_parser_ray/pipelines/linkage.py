@@ -73,7 +73,8 @@ class LinkageConfig:
         return out
 
 
-def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int):
+def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int,
+                        precomputed_ref=None, n_clusters=None):
     """Label every turn with its cluster_id; unlabeled turns (no edges) are
     singletons labeled with their own node_id. Broadcast map-side join when
     the cluster table is small, hash-shuffle join otherwise.
@@ -84,19 +85,27 @@ def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int):
     instead costs seconds of unpickling + hashtable build PER TASK, which
     measured ~300s over a 4.8M-turn consume. Lookups are
     np.searchsorted + both-hash verification (the 128-bit key carried since
-    normalize), so a collision cannot silently mislabel a turn."""
+    normalize), so a collision cannot silently mislabel a turn.
+
+    ``precomputed_ref``: the broadcast union-find already builds exactly
+    this index (sorted hash, verify hash, roots) as a byproduct of its
+    edge conversion; when provided (with ``n_clusters``), the driver-serial
+    collect + hash + sort of the cluster table here is skipped entirely."""
     import ray
 
-    if clusters.count() <= broadcast_limit:
+    n_c = n_clusters if n_clusters is not None else clusters.count()
+    if n_c <= broadcast_limit:
         import numpy as np
         from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
 
-        tbl = pa.concat_tables(
-            [b for b in clusters.iter_batches(batch_format="pyarrow")],
-            promote_options="default") if clusters.count() else None
-        if tbl is None or tbl.num_rows == 0:
+        if precomputed_ref is not None:
+            idx_ref = precomputed_ref
+        elif n_c == 0:
             idx_ref = None
         else:
+            tbl = pa.concat_tables(
+                [b for b in clusters.iter_batches(batch_format="pyarrow")],
+                promote_options="default")
             h = _hash64(tbl["node_id"], HASH_SEED_LO).to_numpy()
             h2 = _hash64(tbl["node_id"], HASH_SEED_HI).to_numpy()
             order = np.argsort(h, kind="stable")
@@ -280,8 +289,11 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     # turn table streams straight through). Above the limit it falls back
     # to the hash-shuffle join on the 128-bit node hash (16-byte key,
     # collision-safe at the 10^12-turn design point).
-    turns = _join_clusters_back(extracted, clusters, cfg,
-                                broadcast_limit=cfg.join_broadcast_limit)
+    turns = _join_clusters_back(
+        extracted, clusters, cfg,
+        broadcast_limit=cfg.join_broadcast_limit,
+        precomputed_ref=_uf_info.get("joinback_index_ref"),
+        n_clusters=_uf_info.get("n_nodes"))
 
     # the join-back is lazy (streams when the caller consumes `turns`), so
     # its wall time belongs to the consumer; record the plan boundary only

@@ -25,8 +25,6 @@ edge table — see ``linkage.run_linkage`` for the trade-off.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -69,8 +67,28 @@ def _group_pair_indices(n: int, offset: int, cap: int, window: int,
     return li + offset, ri + offset, True
 
 
-def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
-    """All groups of one hash bucket -> one candidate-pair DataFrame."""
+def _ext_identity(df: pd.DataFrame) -> np.ndarray:
+    """128-bit extraction-identity key per row as a structured
+    ``(u8, u8)`` array: equality-comparable and ``np.unique``-groupable
+    like the old concatenated string, at hash speed instead of 9 chained
+    ``np.char.add`` passes. Two independent 64-bit row hashes make a
+    silent identity collision (which would star-merge two different
+    extractions at score 1.0) cryptographically negligible."""
+    import polars as pl
+    cols = pl.from_pandas(df[COMPONENT_FIELDS].fillna(""))
+    out = np.empty(len(df), dtype=[("a", "u8"), ("b", "u8")])
+    out["a"] = cols.hash_rows(seed=3).to_numpy()
+    out["b"] = cols.hash_rows(seed=71).to_numpy()
+    return out
+
+
+def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int,
+                       with_pair_key: bool = True) -> pd.DataFrame:
+    """All groups of one hash bucket -> one candidate-pair DataFrame.
+
+    ``with_pair_key=False`` (the fused-scoring path) skips building the
+    ``pair_key`` string column — two ``np.char.add`` passes over every
+    generated pair that the fused path never reads."""
     # sort for the oversized-block neighborhood window: ROAD first — within
     # an area block, road is the per-entity discriminator, so one entity's
     # surface variants (whose house strings can differ wildly, e.g.
@@ -79,17 +97,14 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
             .sort_values(["block_key", "road", "house_number", "node_id"],
                          kind="mergesort")
             .reset_index(drop=True))
+    cols = PAIR_COLUMNS if with_pair_key else PAIR_COLUMNS[1:]
     if len(df) < 2:
-        return pd.DataFrame(columns=PAIR_COLUMNS)
+        return pd.DataFrame(columns=cols)
 
     bk = df["block_key"].to_numpy()
     node = df["node_id"].to_numpy()
     comp = {f: df[f].fillna("").to_numpy() for f in COMPONENT_FIELDS}
-
-    # extraction-identity key per row (used by oversized two-level gen)
-    ext = comp[COMPONENT_FIELDS[0]].astype(str)
-    for f in COMPONENT_FIELDS[1:]:
-        ext = np.char.add(np.char.add(ext, "\x00"), comp[f].astype(str))
+    ext = _ext_identity(df)
 
     change = np.nonzero(bk[1:] != bk[:-1])[0] + 1
     starts = np.concatenate([[0], change])
@@ -103,7 +118,7 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
             ri_all.append(res[1])
             ov_all.append(np.full(len(res[0]), int(res[2]), dtype=np.int32))
     if not li_all:
-        return pd.DataFrame(columns=PAIR_COLUMNS)
+        return pd.DataFrame(columns=cols)
     li = np.concatenate(li_all)
     ri = np.concatenate(ri_all)
     ov = np.concatenate(ov_all)
@@ -114,9 +129,10 @@ def _pairs_from_bucket(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     swap = u > v
     u2 = np.where(swap, v, u)
     v2 = np.where(swap, u, v)
-    out = {"pair_key": np.char.add(np.char.add(u2.astype(str), "||"),
-                                   v2.astype(str)),
-           "u": u2, "v": v2}
+    out = {"u": u2, "v": v2}
+    if with_pair_key:
+        out = {"pair_key": np.char.add(np.char.add(u2.astype(str), "||"),
+                                       v2.astype(str)), **out}
     for f in COMPONENT_FIELDS:
         lv = comp[f][li]
         rv = comp[f][ri]
@@ -138,6 +154,9 @@ def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     return _pairs_from_bucket(df, cap, window)
 
 
+_SALT_SAMPLE_MOD = 8    # deterministic 1/8 row sample for hot-key counting
+
+
 def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
     """Zipf-head defense: one blocking key whose block outgrows a single
     task (the Dhaka problem) would make the whole stage wait on one CPU.
@@ -148,20 +167,42 @@ def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
     ROAD is connectivity-preserving: within an area block, road is the
     per-entity discriminator, so all of one entity's mention variants land
     in the same shard and same-entity pair recall is unchanged; only
-    cross-entity pairs (unwanted) lose cross-shard candidates."""
+    cross-entity pairs (unwanted) lose cross-shard candidates.
+
+    The count pass runs on a DETERMINISTIC 1/8 row sample (node-hash
+    modulus): a hot key by definition has thousands of rows, so its
+    sampled count concentrates tightly (±2% at 20k rows) and the
+    salting decision/shard count are insensitive to the residual error —
+    while the count shuffle moves 8x fewer rows. Sampling by node hash
+    (not per key) keeps every key's sample unbiased."""
+    import polars as pl_
     import pyarrow.compute as pc_
 
-    counts = ds.select_columns(["block_key"]).groupby("block_key").count()
+    thresh = max(1, hot_block_rows // _SALT_SAMPLE_MOD)
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        h = pl_.from_arrow(batch["node_id"]).hash(seed=13).to_arrow()
+        keep = pc_.equal(
+            pc_.bit_wise_and(pc_.cast(h, pa.uint64()),
+                             pa.scalar(_SALT_SAMPLE_MOD - 1, pa.uint64())),
+            pa.scalar(0, pa.uint64()))
+        return batch.select(["block_key"]).filter(keep)
+
+    counts = (ds.select_columns(["block_key", "node_id"])
+              .map_batches(_sample, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("block_key").count())
     hot_batches = [
         b for b in counts.map_batches(
-            lambda t: t.filter(pc_.greater(t["count()"], hot_block_rows)),
+            lambda t: t.filter(pc_.greater(t["count()"], thresh)),
             batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")]
     hot = {}
     for b in hot_batches:
         for k, n in zip(b["block_key"].to_pylist(),
                         b["count()"].to_pylist()):
-            hot[k] = int(-(-n // salt_target))      # ceil
+            est = n * _SALT_SAMPLE_MOD
+            hot[k] = int(-(-est // salt_target))    # ceil
     if not hot:
         return ds
     import pandas as pd_
@@ -193,7 +234,7 @@ def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
 
 
 def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
-                          num_buckets: int = 128,
+                          num_buckets: int = 1024,
                           score_threshold: float = None,
                           hot_block_rows: int = 20_000,
                           salt_target: int = 8_000):
@@ -209,10 +250,21 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
     (see :func:`_salt_hot_blocks`)."""
     ds = _salt_hot_blocks(ds, hot_block_rows, salt_target)
 
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch["block_key"].to_pylist()
-        b = [zlib.crc32(k.encode("utf-8")) % num_buckets for k in keys]
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
+        # vectorized key hash (polars/xxhash, C speed) — the previous
+        # to_pylist + per-row zlib.crc32 was a Python loop in the hottest
+        # shuffle's map side
+        import polars as pl_
+        import pyarrow.compute as pc_
+        h = pl_.from_arrow(batch["block_key"]).hash(seed=11).to_arrow()
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        b = pc_.cast(pc_.bit_wise_and(pc_.cast(h, pa.uint64()),
+                                      pa.scalar(num_buckets - 1,
+                                                pa.uint64())), pa.int32())
+        return batch.append_column("bucket", b)
 
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         return _pairs_from_bucket(df, cap, window)
@@ -224,7 +276,7 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
             "v": pd.Series([], dtype="object"),
             "score": pd.Series([], dtype="float64"),
             "oversized": pd.Series([], dtype="int32")})
-        pairs = _pairs_from_bucket(df, cap, window)
+        pairs = _pairs_from_bucket(df, cap, window, with_pair_key=False)
         if not len(pairs):
             return empty
         same = pairs["same_ext"].to_numpy()

@@ -93,7 +93,9 @@ def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         scores[slow_mask] = s_scores
         matches[slow_mask] = s_matches
 
-    out = df[["pair_key", "u", "v"]].copy()
+    # pair_key is absent on the fused-scoring path (pairs.py elides it)
+    keep = [c for c in ("pair_key", "u", "v") if c in df.columns]
+    out = df[keep].copy()
     out["score"] = pd.Series(scores, index=df.index, dtype="float64")
     out["match"] = pd.Series(matches, index=df.index, dtype="bool")
     return out

@@ -204,33 +204,52 @@ def _collect_universe(edges):
     """Distinct node ids over BOTH endpoint columns of the (directed) edge
     table, sorted: per-block partial uniques in leaf tasks, hash-based
     merge in a TREE of tasks (arity 8) — the driver only ray.gets the
-    single root result, never iterates blocks. Returns a sorted np.ndarray
-    (possibly empty)."""
-    import numpy as np
+    single root result, never iterates blocks. All set ops are Arrow C
+    kernels (``pc.unique`` / ``array_sort_indices``) over string arrays —
+    the previous object-ndarray version paid a driver-serial ``np.sort``
+    with per-element Python compares over the whole universe (tens of
+    seconds at 10^6.5 nodes), plus object pickling at every tree edge.
+    The final sort runs in the root TASK, off the driver; UTF-8 byte order
+    == code-point order, so the result is the same lexicographic order.
+    Returns a sorted ``pa.StringArray`` (possibly empty), zero-copy to the
+    driver."""
+    import pyarrow.compute as _pc
     import ray
 
+    _EMPTY = pa.array([], pa.string())
+
+    def _uniq(arrs):
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return _EMPTY
+        u = _pc.unique(pa.chunked_array(arrs))
+        return u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+
     @ray.remote(num_cpus=1)
-    def _leaf(*blocks: pa.Table) -> np.ndarray:
-        import pandas as pd
+    def _leaf(*blocks: pa.Table) -> pa.Array:
         parts = []
         for b in blocks:
             if not b.num_rows:
                 continue
             for col in ("u", "v"):
                 if col in b.column_names:
-                    parts.append(b[col].to_numpy(zero_copy_only=False))
-        if not parts:       # empty blocks can be schema-less
-            return np.array([], dtype=object)
-        return pd.unique(np.concatenate(parts))
+                    c = b[col]
+                    parts.append(c.combine_chunks()
+                                 if isinstance(c, pa.ChunkedArray) else c)
+        return _uniq(parts)
 
     @ray.remote(num_cpus=1)
-    def _merge(*parts: np.ndarray) -> np.ndarray:
-        import pandas as pd
-        return pd.unique(np.concatenate(parts))
+    def _merge(*parts) -> pa.Array:
+        return _uniq(list(parts))
+
+    @ray.remote(num_cpus=1)
+    def _merge_sort(*parts) -> pa.Array:
+        u = _uniq(list(parts))
+        return u.take(_pc.array_sort_indices(u))
 
     block_refs = edges.to_arrow_refs()
     if not block_refs:
-        return np.array([], dtype=object)
+        return _EMPTY
     # one leaf task per ~CPU, each eating a chunk of blocks: per-task
     # scheduling overhead stays constant as the block count grows
     cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
@@ -238,13 +257,10 @@ def _collect_universe(edges):
     refs = [_leaf.remote(*block_refs[i:i + chunk])
             for i in range(0, len(block_refs), chunk)]
     ARITY = 8
-    while len(refs) > 1:
+    while len(refs) > ARITY:
         refs = [_merge.remote(*refs[i:i + ARITY])
                 for i in range(0, len(refs), ARITY)]
-    out = ray.get(refs[0])
-    # hash-based unique (C) then sort the small distinct set — np.unique on
-    # millions of object strings is a python-compare sort
-    return np.sort(out)
+    return ray.get(_merge_sort.remote(*refs))
 
 
 def _broadcast_components(edges, max_rounds: int, nodes=None):
@@ -296,7 +312,11 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
     # once and falls back to the (slow, exact) pd.Index path — a ~1e-8
     # event at the broadcast limit.
     from .normalize import _hash64
-    h = _hash64(pa.array(nodes, pa.string())).to_numpy()
+    if not isinstance(nodes, (pa.Array, pa.ChunkedArray)):
+        nodes = pa.array(nodes, pa.string())     # tool/test convenience
+    if isinstance(nodes, pa.ChunkedArray):
+        nodes = nodes.combine_chunks()
+    h = _hash64(nodes).to_numpy()
     order = np.argsort(h, kind="stable").astype(np.int64)
     h_sorted = np.ascontiguousarray(h[order])
     unique_hashes = n == 0 or (np.diff(h_sorted) != 0).all()
@@ -314,7 +334,7 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
                 "si": pa.array(np.concatenate([ui, vi]), pa.int64()),
                 "di": pa.array(np.concatenate([vi, ui]), pa.int64())})
     else:   # astronomically rare: exact hashtable fallback
-        index_ref = ray.put(pd.Index(nodes))
+        index_ref = ray.put(pd.Index(nodes.to_pandas()))
 
         def _to_idx(batch: pa.Table) -> pa.Table:
             idx = ray.get(index_ref)
@@ -404,10 +424,28 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
     # only ever roots keep their identity label
     _mark(f"two_level_fold ({len(idxs)} mapped)")
 
+    roots = nodes.take(pa.array(parent, pa.int64()))
+    if isinstance(roots, pa.ChunkedArray):
+        roots = roots.combine_chunks()
+
     LAST_RUN_INFO.clear()
     LAST_RUN_INFO.update({"strategy": "broadcast", "rounds": 1,
                           "converged": True, "n_nodes": n})
-    tbl = pa.table({"node_id": pa.array(nodes, pa.string()),
-                    "cluster_id": pa.array(nodes[parent], pa.string())})
+    if unique_hashes:
+        # the cluster join-back (pipelines/linkage._join_clusters_back)
+        # needs exactly (sorted node-hash, verify-hash, root string) — we
+        # already hold the hashes and sort order from the edge-conversion
+        # index, so publish the ready-made broadcast index instead of
+        # letting the consumer re-collect, re-hash and re-sort the whole
+        # cluster table on the driver (~40 s at 10^6.5 nodes)
+        from .normalize import HASH_SEED_HI
+        h2 = _hash64(nodes, HASH_SEED_HI).to_numpy()
+        order_pa = pa.array(order, pa.int64())
+        roots_sorted = roots.take(order_pa)
+        if isinstance(roots_sorted, pa.ChunkedArray):
+            roots_sorted = roots_sorted.combine_chunks()
+        LAST_RUN_INFO["joinback_index_ref"] = ray.put(
+            (h_sorted, np.ascontiguousarray(h2[order]), roots_sorted))
+    tbl = pa.table({"node_id": nodes, "cluster_id": roots})
     import ray.data as rd
     return rd.from_arrow(tbl)

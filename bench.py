@@ -79,7 +79,8 @@ def run_query_suite(sf_dir: str) -> dict:
              "doc_stats_by_lang", "lineitem_pricing", "normalize_docs",
              "knn_cosine_topk", "embedding_dup_pairs", "simhash_dup_pairs",
              "minhash_dup_pairs", "events_sessionized",
-             "asof_signup_attribution", "lang_id_docs"]
+             "asof_signup_attribution", "lang_id_docs",
+             "unshipped_revenue_topk"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -1,48 +1,57 @@
-"""CLI entry (reference S3) and country-extraction (M7 CityResult parity)
-tests — kernel-level paths that need no Ray session."""
+"""User CLI (`python -m ai_bangladesh_address_parser_ray`) — reference S3
+``--demo/--batch/--address`` routing
+(``src/core/production_address_extractor.py:1260-1285``)."""
 
 import json
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from ai_bangladesh_address_parser_ray.__main__ import main
-from ai_bangladesh_address_parser_ray.kernel.extractors import extract_country
 
 
-class TestCountry:
-    def test_default_bangladesh(self):
-        assert extract_country("House 12, Dhanmondi, Dhaka") == \
-            ("Bangladesh", 0.95)
-
-    def test_explicit_at_end_full_confidence(self):
-        assert extract_country("House 12, Dhaka, Bangladesh") == \
-            ("Bangladesh", 1.00)
-
-    def test_explicit_last_segment(self):
-        v, c = extract_country("House 12, Bangladesh, near the market")
-        assert v == "Bangladesh" and c == 0.90
-
-    def test_other_country(self):
-        assert extract_country("MG Road, Bangalore, India")[0] == "India"
-
-    def test_detailed_metadata_carries_country(self):
-        from ai_bangladesh_address_parser_ray.kernel.extract import extract
-        out = extract("House 4, Mirpur, Dhaka", detailed=True)
-        assert out["metadata"]["country"]["value"] == "Bangladesh"
-
-
-class TestCli:
+class TestKernelCommands:
     def test_address_json(self, capsys):
-        rc = main(["--address", "House 12, Road 5, Dhanmondi, Dhaka-1209"])
+        rc = main(["--address", "House 12, Road 5, Dhanmondi, Dhaka 1209"])
         assert rc == 0
-        out = json.loads(capsys.readouterr().out)
-        assert out["components"]["house_number"] == "12"
-        assert out["components"]["postal_code"] == "1209"
+        res = json.loads(capsys.readouterr().out)
+        assert res["components"]["house_number"] == "12"
+        assert res["components"]["area"] == "Dhanmondi"
+        assert res["overall_confidence"] > 0.5
 
-    def test_address_detailed(self, capsys):
-        rc = main(["--address", "House 12, Dhanmondi", "--detailed"])
-        assert rc == 0
-        out = json.loads(capsys.readouterr().out)
-        assert "metadata" in out and "country" in out["metadata"]
-
-    def test_demo(self, capsys):
+    def test_demo_runs(self, capsys):
         assert main(["--demo"]) == 0
-        assert capsys.readouterr().out.count('"components"') == 5
+        assert "Dhanmondi" in capsys.readouterr().out
+
+
+class TestBatchCommand:
+    def test_batch_parquet_roundtrip(self, ray_session, tmp_path):
+        inp = tmp_path / "in.parquet"
+        pq.write_table(pa.table({
+            "row_id": pa.array([1, 2, 3], pa.int64()),
+            "addr": ["House 12, Road 5, Dhanmondi, Dhaka 1209",
+                     "Holding 7, Agrabad, Chittagong",
+                     "no address here at all"],
+        }), inp)
+        out_dir = tmp_path / "out"
+        rc = main(["--batch", str(inp), str(out_dir),
+                   "--text-col", "addr"])
+        assert rc == 0
+        got = pq.read_table(out_dir).to_pandas() \
+            .sort_values("row_id").reset_index(drop=True)
+        assert len(got) == 3
+        assert got.loc[0, "house_number"] == "12"
+        assert got.loc[0, "area"] == "Dhanmondi"
+        assert got.loc[1, "district"] == "Chattogram"
+        # borrowed pytest session must survive the command
+        import ray
+        assert ray.is_initialized()
+
+    def test_batch_limit(self, ray_session, tmp_path):
+        inp = tmp_path / "in.parquet"
+        pq.write_table(pa.table({
+            "text": [f"House {i}, Dhanmondi, Dhaka" for i in range(10)],
+        }), inp)
+        out_dir = tmp_path / "out_lim"
+        assert main(["--batch", str(inp), str(out_dir), "--limit", "4"]) == 0
+        assert pq.read_table(out_dir).num_rows == 4

@@ -17,7 +17,8 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["events", "orders", "customer"]:
+    for t in ["events", "orders", "customer", "lineitem", "supplier",
+              "nation", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -166,6 +167,57 @@ class TestRangeAndWindow:
                              ["low", "mid", "high"]).to_pandas()
         assert out.set_index("band").n.to_dict() == {
             "low": 2, "mid": 1, "high": 1}
+
+
+class TestHashJoin:
+    def test_inner_join_matches_sql(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            hash_join)
+        li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_quantity"])
+        o = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                  columns=["o_orderkey", "o_orderstatus"])
+        got = hash_join(li, o, on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=4) \
+            .select_columns(["l_orderkey", "l_quantity", "o_orderstatus"])
+        _cmp(got,
+             "SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus "
+             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+
+
+class TestTpchShapes:
+    def test_unshipped_revenue_topk(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["unshipped_revenue_topk"](SF),
+             E.oracle_sql()["unshipped_revenue_topk"])
+
+    def test_regional_nation_volume(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["regional_nation_volume"](SF),
+             E.oracle_sql()["regional_nation_volume"])
+
+
+class TestSlidingWindow:
+    def test_matches_sql(self, ray_session):
+        import __ray_entry__ as E
+        _cmp(E.queries()["events_sliding"](SF),
+             E.oracle_sql()["events_sliding"])
+
+    def test_each_event_in_width_over_slide_windows(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            sliding_window_agg)
+        us = 1_000_000
+        # one event at t=3600s: windows starting at 0 and 3600 (w=7200,s=3600)
+        tbl = pa.table({
+            "ts": pa.array([3600 * us], pa.timestamp("us")),
+            "event_type": ["x"],
+            "value": [1.0]})
+        out = sliding_window_agg(ray.data.from_arrow(tbl),
+                                 width_s=7200, slide_s=3600).to_pandas()
+        assert sorted(out.window_us // us) == [0, 3600]
+        assert out.n.tolist() == [1, 1]
 
 
 class TestLangIdOracle:
