@@ -212,6 +212,11 @@ def _q_knn_lsh(sf_dir):
     return F_sim.knn_lsh(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
 
 
+def _q_knn_ivf(sf_dir):
+    mat, ids = _query_vectors(sf_dir)
+    return F_sim.knn_ivf(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
+
+
 def _extracted(sf_dir):
     return dedup_extract_stage(normalize_stage(_transcripts(sf_dir)))
 
@@ -434,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash,
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
+        "knn_ivf_topk": _q_knn_ivf,
         "media_frame_features": _q_media_frames,
         "geo_enrich_turns": _q_geo_enrich,
         "validate_turns": _q_validate_turns,

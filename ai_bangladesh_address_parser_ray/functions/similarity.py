@@ -4,8 +4,11 @@
   once, read per actor init), per-batch numpy matmul produces *partial*
   top-k per query, driver merges the tiny (num_queries x k) partials.
   The dataset side streams — never materialized.
-- :func:`knn_lsh`    the scale path: sign-LSH (random-hyperplane) buckets
+- :func:`knn_lsh`    scale path 1: sign-LSH (random-hyperplane) buckets
   shrink the candidate set per query; same verifier, recall < 1 by design.
+- :func:`knn_ivf`    scale path 2: IVF — spherical k-means centroids from
+  a sample, queries probe the ``nprobe`` nearest inverted lists; batch
+  vectors score only against the queries probing their list.
 
 New surface (no ANN in the reference); required by the training-data
 pipeline mandate. Scores are float64, rounded to 6 decimals for oracle
@@ -29,6 +32,55 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _vecs_from_col(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy flatten of
+    the Arrow values buffer when the lists are uniform-length (embeddings
+    are), falling back to per-row conversion otherwise. Replaces the
+    ``to_pylist()`` per-row Python hop in the hot scoring path."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(
+                len(arr), int(widths[0]))
+    except AttributeError:      # not a list array / chunked edge case
+        pass
+    return np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in arr.to_pylist()])
+
+
+def _merge_topk(partials, k: int, exclude_self: bool) -> pa.Table:
+    """Driver-side merge of (query_id, neighbor_id, score) partial rows to
+    the global top-k per query: O(num_queries x k x num_batches) heap work
+    on tiny tables — the dataset side streamed."""
+    best: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for qid, nid, s in zip(b["query_id"].to_pylist(),
+                               b["neighbor_id"].to_pylist(),
+                               b["score"].to_pylist()):
+            if exclude_self and nid == qid:
+                continue
+            heapq.heappush(best.setdefault(qid, []), (s, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+    qcol, ncol, scol, rcol = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for r, (s, negn) in enumerate(ranked, 1):
+            qcol.append(qid)
+            ncol.append(-negn)
+            scol.append(round(s, 6))
+            rcol.append(r)
+    return pa.table({
+        "query_id": pa.array(qcol, pa.int64()),
+        "neighbor_id": pa.array(ncol, pa.int64()),
+        "score": pa.array(scol, pa.float64()),
+        "rank": pa.array(rcol, pa.int64()),
+    })
+
+
 def _partial_topk_batch(batch: pa.Table, q_ref, qids_ref, k: int,
                         exclude_self: bool) -> pa.Table:
     """Task: per-batch cosine of the batch vectors against the broadcast
@@ -40,8 +92,7 @@ def _partial_topk_batch(batch: pa.Table, q_ref, qids_ref, k: int,
     qids = np.asarray(
         ray.get(qids_ref) if isinstance(qids_ref, ray.ObjectRef) else qids_ref)
     qn = _normalize(q)
-    vecs = np.asarray([np.asarray(v, dtype=np.float64)
-                       for v in batch["embedding"].to_pylist()])
+    vecs = _vecs_from_col(batch["embedding"])
     nids = np.asarray(batch["vec_id"].to_pylist())
     sims = qn @ _normalize(vecs).T                 # (Q, batch)
     if exclude_self:
@@ -80,33 +131,7 @@ def knn_brute(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
         fn_kwargs=dict(q_ref=q_ref, qids_ref=qids_ref, k=k,
                        exclude_self=exclude_self),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-
-    # driver-side merge of O(num_queries * k * num_batches) partial rows
-    best: dict = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for qid, nid, s in zip(b["query_id"].to_pylist(),
-                               b["neighbor_id"].to_pylist(),
-                               b["score"].to_pylist()):
-            if exclude_self and nid == qid:
-                continue
-            heapq.heappush(best.setdefault(qid, []), (s, -nid))
-            if len(best[qid]) > k:
-                heapq.heappop(best[qid])
-
-    qcol, ncol, scol, rcol = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
-        for r, (s, negn) in enumerate(ranked, 1):
-            qcol.append(qid)
-            ncol.append(-negn)
-            scol.append(round(s, 6))
-            rcol.append(r)
-    return pa.table({
-        "query_id": pa.array(qcol, pa.int64()),
-        "neighbor_id": pa.array(ncol, pa.int64()),
-        "score": pa.array(scol, pa.float64()),
-        "rank": pa.array(rcol, pa.int64()),
-    })
+    return _merge_topk(partials, k, exclude_self)
 
 
 # ------------------------------------------------------------- sign-LSH ----
@@ -153,8 +178,7 @@ def knn_lsh(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
         qids = np.asarray(ray.get(qids_ref))
         probe_map = ray.get(probe_ref)
         pl = ray.get(planes_ref)
-        vecs = np.asarray([np.asarray(v, dtype=np.float64)
-                           for v in batch["embedding"].to_pylist()])
+        vecs = _vecs_from_col(batch["embedding"])
         nids = np.asarray(batch["vec_id"].to_pylist())
         sigs = signature_bits(vecs, pl)
         nv = _normalize(vecs)
@@ -174,29 +198,93 @@ def knn_lsh(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
     partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
         _bucket_topk, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size)
+    return _merge_topk(partials, k, exclude_self)
 
-    best: dict = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for qid, nid, s in zip(b["query_id"].to_pylist(),
-                               b["neighbor_id"].to_pylist(),
-                               b["score"].to_pylist()):
-            if exclude_self and nid == qid:
+
+# ------------------------------------------------------------------ IVF ----
+
+def _kmeans_spherical(sample: np.ndarray, n_lists: int, iters: int = 10,
+                      seed: int = 0xC0FFEE) -> np.ndarray:
+    """Tiny deterministic spherical k-means on a driver-side SAMPLE: assign
+    by cosine (dot of normalized vectors), recenter as the normalized mean.
+    The sample is small (train_size rows) — the corpus itself never leaves
+    the workers."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample)
+    n_lists = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+            n_lists: int = 16, nprobe: int = 4, train_size: int = 2048,
+            exclude_self: bool = True, batch_size: int = 1024) -> pa.Table:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Centroids are trained on a ``train_size`` sample (one driver-side
+    mini k-means — the 100 TB corpus never materializes); each query
+    probes its ``nprobe`` nearest lists. Per batch, vectors are assigned
+    to their list with one matmul+argmax, then each list's vectors score
+    only against the queries probing that list — candidate work shrinks
+    ~``n_lists/nprobe``-fold vs brute force. Recall < 1 by design; output
+    schema matches :func:`knn_brute`."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    sample = _vecs_from_col(
+        pa.concat_tables(
+            ds.select_columns(["embedding"]).limit(train_size)
+            .iter_batches(batch_format="pyarrow"),
+            promote_options="default")["embedding"])
+    cent = _kmeans_spherical(sample, n_lists)
+    qn = _normalize(q)
+    # nprobe nearest lists per query -> probe map {list_id: [query_idx]}
+    order = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probe: dict = {}
+    for qi, lists in enumerate(order):
+        for li in lists:
+            probe.setdefault(int(li), []).append(qi)
+
+    q_ref = ray.put(q)
+    qids_ref = ray.put(np.asarray(query_ids))
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
+
+    def _list_topk(batch: pa.Table) -> pa.Table:
+        qn_ = _normalize(ray.get(q_ref))
+        qids = np.asarray(ray.get(qids_ref))
+        c = ray.get(cent_ref)
+        probe_map = ray.get(probe_ref)
+        vecs = _vecs_from_col(batch["embedding"])
+        nids = np.asarray(batch["vec_id"].to_pylist())
+        nv = _normalize(vecs)
+        assign = np.argmax(nv @ c.T, axis=1)
+        qcol, ncol, scol = [], [], []
+        for li in np.unique(assign):
+            qidx = probe_map.get(int(li))
+            if not qidx:
                 continue
-            heapq.heappush(best.setdefault(qid, []), (s, -nid))
-            if len(best[qid]) > k:
-                heapq.heappop(best[qid])
+            rows = np.flatnonzero(assign == li)
+            sims = qn_[qidx] @ nv[rows].T          # (probing-Q, list rows)
+            for a, qi in enumerate(qidx):
+                kk = min(k, len(rows))
+                loc = np.lexsort((nids[rows], -sims[a]))[:kk]
+                for j in loc:
+                    qcol.append(int(qids[qi]))
+                    ncol.append(int(nids[rows[j]]))
+                    scol.append(float(sims[a, j]))
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "neighbor_id": pa.array(ncol, pa.int64()),
+            "score": pa.array(scol, pa.float64()),
+        })
 
-    qcol, ncol, scol, rcol = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
-        for r, (s, negn) in enumerate(ranked, 1):
-            qcol.append(qid)
-            ncol.append(-negn)
-            scol.append(round(s, 6))
-            rcol.append(r)
-    return pa.table({
-        "query_id": pa.array(qcol, pa.int64()),
-        "neighbor_id": pa.array(ncol, pa.int64()),
-        "score": pa.array(scol, pa.float64()),
-        "rank": pa.array(rcol, pa.int64()),
-    })
+    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _list_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+    return _merge_topk(partials, k, exclude_self)

@@ -335,6 +335,31 @@ class TestSimilarity:
         # recall is modest but must beat random bucketing)
         assert hits / total >= 0.25
 
+    def test_knn_ivf_recall(self, ray_session, emb_df):
+        from ai_bangladesh_address_parser_ray.functions.similarity import (
+            knn_ivf)
+        sub = emb_df.sort_values("vec_id")
+        mat = np.asarray([np.asarray(v, np.float64)
+                          for v in sub.embedding.head(5)])
+        ids = sub.vec_id.head(5).tolist()
+        # few lists + wide probe on the small fixture => near-exact recall
+        got = knn_ivf(_emb_ds(), mat, ids, k=5, n_lists=4, nprobe=3).to_pandas()
+        exp = self._brute(emb_df, nq=5, k=5)
+        hits = total = 0
+        for qid, ranked in exp.items():
+            want = {nid for _, nid in ranked}
+            have = set(got[got.query_id == qid].neighbor_id)
+            hits += len(want & have)
+            total += len(want)
+        assert hits / total >= 0.6
+        # every returned score must be the true cosine (IVF prunes
+        # candidates, never alters scoring)
+        brute_all = {(q, n): s for q, rr in exp.items() for s, n in rr}
+        for r in got.itertuples():
+            if (r.query_id, r.neighbor_id) in brute_all:
+                assert abs(r.score - round(brute_all[(r.query_id,
+                                                      r.neighbor_id)], 6)) < 1e-6
+
 
 # ------------------------------------------------------ text analysis ----
 
