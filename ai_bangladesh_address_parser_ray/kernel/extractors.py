@@ -43,6 +43,9 @@ _HOUSE_PATTERNS = [
     # ranges / multiples: "House 8+9", "House 98-99" (reference :173-175)
     (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*(\d+\s*[+&]\s*\d+)\b", re.I), 0.90),
     (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*(\d+\s*-\s*\d+)\b", re.I), 0.90),
+    # combo "House 60 Kha 7" (reference house_number_processor.py:181) —
+    # must outrank the generic number pattern below or it stops at "60"
+    (re.compile(rf"\b{_HOUSE_KW}\s+(\d+\s+{_BANGLISH}\s+\d+)\b", re.I), 0.90),
     (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.90),
     # Banglish prefix + number chain: Kha/50, Kha-32/1, CHO 55/A
     (re.compile(rf"\b({_BANGLISH}\s*[-/]?\s*\d+(?:/[A-Za-z0-9]+)*)"
@@ -53,9 +56,31 @@ _HOUSE_PATTERNS = [
                 re.I), 0.92),
     (re.compile(rf"\bH\s*[@]\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.88),
     (re.compile(rf"\bH\s*[-.]?\s*({_NUMTOK})\b", re.I), 0.85),
+    # letter-valued: "House No. F/30", "House C/36", "House J57" (:194-205)
+    (re.compile(rf"\b{_HOUSE_KW}\s*(?:No\.?\s*)?-?\s*"
+                rf"([A-Za-z]\s*/\s*\d+[A-Za-z]?)\b", re.I), 0.90),
+    (re.compile(rf"\b{_HOUSE_KW}\s+([A-Za-z]-?\d+[A-Za-z]?)\b", re.I), 0.88),
+    # reversed "12 no house" / "3/B no basa" (:228-231)
+    (re.compile(rf"\b({_NUMTOK}[A-Za-z]?)\s+No\.?\s+"
+                rf"(?:House|Basa|Basha)\b", re.I), 0.90),
+    # mahol/mahal household unit (:246)
+    (re.compile(r"\b(?:Mahol|Mahal)\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.85),
+]
+# bare-number positionals — no keyword claims the value, so an extra
+# left-context guard rejects numbers owned by road/flat/block/… (the
+# reference applies its standalone bank only after keyword banks miss and
+# vetoes context words, house_number_processor.py:253-281)
+_HOUSE_POSITIONAL = [
     # leading positional: "105/A, Central Road ..."
     (re.compile(rf"^\s*(\d{{1,4}}(?:/[A-Za-z0-9]+)?)\s*[, ]"), 0.75),
+    # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
+    (re.compile(r"\b(\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3})"
+                r"\s*,"), 0.72),
 ]
+_STRUCT_BEFORE = re.compile(
+    r"\b(?:Road|Rd|Lane|Line|Goli|Flat|Block|Floor|Level|Sector|Plot|Ward|"
+    r"Apartment|Post|Postal|Zip|Holding|Building|Bldg)"
+    r"\s*(?:No\.?\s*)?[-.]?\s*$", re.I)
 _POSTAL_SHAPE = re.compile(r"^\d{4}$")
 # guard: "2 No Road / 3 No Lane / 6 No ward" — the number names a road or
 # ward, not a house (reference `_is_road_goli_number`, :404-447)
@@ -70,6 +95,21 @@ _INSTITUTION_BEFORE = re.compile(
     r"[\s,]*$", re.I)
 
 
+def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
+    # guard: phone-shaped (>5 digits in one run) can never be a house
+    if len(re.sub(r"\D", "", val)) > 5:
+        return False
+    # guard: a bare 4-digit token in the trailing third is postal-shaped
+    # (reference guard `_is_postal_code`, house_number_processor.py:447)
+    if _POSTAL_SHAPE.match(val) and m.start(1) > 0.66 * n:
+        return False
+    if _ROAD_GOLI_AFTER.match(text[m.end(1):]):
+        return False
+    if _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:]):
+        return False
+    return True
+
+
 def extract_house(text: str) -> Hit:
     n = len(text) or 1
     for rx, conf in _HOUSE_PATTERNS:
@@ -77,19 +117,19 @@ def extract_house(text: str) -> Hit:
         if not m:
             continue
         val = m.group(1)
-        # guard: phone-shaped (>5 digits in one run) can never be a house
-        digits = re.sub(r"\D", "", val)
-        if len(digits) > 5:
+        if _house_guards_ok(text, m, val, n):
+            return val, conf
+    for rx, conf in _HOUSE_POSITIONAL:
+        m = rx.search(text)
+        if not m:
             continue
-        # guard: a bare 4-digit token in the trailing third is postal-shaped
-        # (reference guard `_is_postal_code`, house_number_processor.py:447)
-        if _POSTAL_SHAPE.match(val) and m.start(1) > 0.66 * n:
+        val = m.group(1)
+        # bare numbers additionally must not be claimed by a structural
+        # keyword immediately to the left
+        if _STRUCT_BEFORE.search(text[: m.start(1)][-24:]):
             continue
-        if _ROAD_GOLI_AFTER.match(text[m.end(1):]):
-            continue
-        if _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:]):
-            continue
-        return val, conf
+        if _house_guards_ok(text, m, val, n):
+            return val, conf
     return None
 
 
@@ -104,6 +144,14 @@ _ROAD_PATTERNS = [
     # "2 No Road" — the road-goli form the house guard rejects
     (re.compile(r"\b(\d+)\s*No\.?\s+(?:Road|Goli|Lane)\b", re.I), 0.90),
     (re.compile(r"\bLane\s*(?:No\.?)?\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
+    # "Line #16" arrives as "Line No 16"; "Line-16" (road_processor.py:149-150)
+    (re.compile(r"\bLine\s*(?:No\.?\s*)?-?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
+    # ordinal lane: "2nd Lane" (:152)
+    (re.compile(r"\b(\d+(?:st|nd|rd|th)\s+Lane)\b", re.I), 0.90),
+    # numbered avenue: "Avenue 2" / "Avenue-5" (:156-157)
+    (re.compile(r"\bAvenue\s*-?\s*(\d+)\b", re.I), 0.88),
+    # letter-prefixed road number: "Road-N05" (:200)
+    (re.compile(r"\b(?:Road|Rd)\s*-\s*([A-Za-z]\d+[A-Za-z]?)\b", re.I), 0.85),
     (re.compile(r"\bR\s*[-.]\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
 ]
 _NAMED_ROAD = re.compile(
@@ -212,17 +260,27 @@ def extract_country(text: str) -> Tuple[str, float]:
 _POSTAL_EXPLICIT = re.compile(
     r"\b(?:Post\s*Code|Postal\s*Code|Post|P\.?O\.?|Zip)\s*-?\s*(\d{4})\b", re.I
 )
-# city-dash requires a real word prefix ("Dhaka-1216"), never the structural
-# tokens H-12 / Road-8 / Flat-D2 (reference guard: postal_code_processor.py
-# pattern bank restricts to city/area names)
+# city-dash requires a KNOWN place-name prefix ("Dhaka-1216") — the
+# reference's city-dash pattern bank enumerates actual city/area names
+# (postal_code_processor.py:122-202), never arbitrary words ("file - 8684")
+# or structural tokens (H-12 / Road-8 / Flat-D2). The allowlist is the
+# single-word tokens of every gazetteer area, district, division and geo
+# upazila (names are matched post-normalization, so canonical spellings).
 _CITY_DASH = re.compile(r"\b([A-Za-z]{3,})\s*-\s*(\d{4})\b")
-_CITY_DASH_BAD = {"house", "road", "flat", "floor", "block", "level",
-                  "holding", "sector", "lane", "apartment", "plot",
-                  "building", "bldg", "basa", "basha", "bari",
-                  # Banglish house prefixes: "Kha-9503" is a house, never
-                  # "city Kha with postal 9503"
-                  "kha", "gha", "jha", "chha", "cho", "cha", "kh", "ja",
-                  "gh", "ch"}
+
+
+def _place_words():
+    from .geo import UPAZILAS
+    words = set()
+    for name in (set(AREAS) | set(DISTRICT_TO_DIVISION)
+                 | {d.lower() for d in DIVISIONS} | set(UPAZILAS)):
+        for w in re.split(r"[^a-z]+", name.lower()):
+            if len(w) >= 3:
+                words.add(w)
+    return words
+
+
+_CITY_DASH_OK = _place_words()
 _FOUR_DIGIT = re.compile(r"\b(\d{4})\b")
 _POSTAL_BAD_CTX = re.compile(r"\b(?:House|Road|Flat|H|R)\s*(?:No\.?\s*)?-?\s*$", re.I)
 
@@ -236,7 +294,7 @@ def extract_postal(text: str) -> Hit:
     if m and _postal_valid(m.group(1)):
         return m.group(1), 1.00
     for m in _CITY_DASH.finditer(text):
-        if (m.group(1).lower() not in _CITY_DASH_BAD
+        if (m.group(1).lower() in _CITY_DASH_OK
                 and _postal_valid(m.group(2))):
             return m.group(2), 0.98
     # standalone 4-digit near the end, guarded against house/road/flat context

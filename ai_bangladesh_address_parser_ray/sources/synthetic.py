@@ -39,7 +39,7 @@ from ..kernel.geo import UPAZILAS
 
 # bump when the generator's output changes for the same args: cached synth
 # dirs from an older generator are regenerated, never silently reused
-_GEN_VERSION = 3
+_GEN_VERSION = 4
 
 _BN_DIGITS = {"0": "০", "1": "১", "2": "২", "3": "৩", "4": "৪",
               "5": "৫", "6": "৬", "7": "৭", "8": "৮", "9": "৯"}
@@ -149,7 +149,7 @@ def generate_entities(n_entities: int, seed: int = 42,
 
 
 def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str:
-    """Render one surface form of an entity (variant family in 0..5)."""
+    """Render one surface form of an entity (variant family in 0..9)."""
     h, r = ent["house_number"], ent["road"]
     area, district, postal = ent["area"], ent["district"], ent["postal_code"]
     extras = []
@@ -161,7 +161,7 @@ def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str
         extras.append(f"Block {ent['block_number']}")
     prefix = (", ".join(extras) + ", ") if extras else ""
 
-    v = variant % 8
+    v = variant % 10
     if v == 0:      # canonical
         addr = f"{prefix}House {h}, Road {r}, {area}, {district}-{postal}"
     elif v == 1:    # compact
@@ -185,10 +185,18 @@ def render_mention(ent: Dict[str, str], variant: int, rng: random.Random) -> str
     elif v == 6:    # plot / goli forms
         addr = (f"{prefix}Plot No {h}, {r} No Goli, {area}, "
                 f"{district} {postal}")
-    else:           # noisy / building name
+    elif v == 7:    # noisy / building name
         addr = (f'{prefix}"{rng.choice(["Greenhouse", "Dream Tower", "Rose Villa"])}", '
                 f"House No {h}, Road No {r}, {area}, {district}-{postal} "
                 f"(Near {rng.choice(['Station', 'Market', 'School'])})")
+    elif v == 8:    # reversed "N no house" (reference :228-231)
+        kw = rng.choice(["house", "basa"])
+        addr = (f"{prefix}{h} no {kw}, Road {r}, {area}, "
+                f"{district}-{postal}")
+    else:           # Line/Avenue road forms (road_processor.py:149-157)
+        rkw = rng.choice(["Line-{0}", "Line #{0}", "Avenue {0}"])
+        addr = (f"{prefix}House {h}, {rkw.format(r)}, {area}, "
+                f"{district} {postal}")
     return rng.choice(_TEMPLATES).format(addr=addr)
 
 
@@ -219,7 +227,7 @@ def generate_transcripts(
             tool = rng.choice(_TOOLS) if role == "tool" else ""
             if rng.random() < mention_fraction:
                 ent = _zipf_choice(rng, entities, cum_weights=ent_cum)
-                text = render_mention(ent, rng.randint(0, 7), rng)
+                text = render_mention(ent, rng.randint(0, 9), rng)
                 m_conv.append(conv_id)
                 m_turn.append(ti)
                 m_ent.append(ent["entity_id"])

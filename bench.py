@@ -131,7 +131,11 @@ def scaling():
     CPUs (the sandbox stand-in for N vs 4N nodes). Uses the sf-scaling
     preset (480k turns) so parallel compute dominates fixed Ray latencies
     — efficiency at toy scale measures startup cost, not the pipeline."""
-    lo, hi = 8, 32
+    # the N and 4N "cluster sizes" (sandbox stand-in: CPU budgets in fresh
+    # processes). GRAFT_SCALING_CPUS="2,8" measures an N->4N pair that does
+    # not saturate this box's single memory bus the way 32 procs do.
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     preset = os.environ.get("GRAFT_SYNTH_PRESET", "sf-scaling-xxl")
     # pre-generate the shared input once so neither timed run pays it
     os.environ["GRAFT_SYNTH_PRESET"] = preset

@@ -132,6 +132,48 @@ class TestExtractors:
         assert extract("H@45, Road 7, Mirpur")["components"][
             "house_number"] == "45"
 
+    def test_letter_valued_house(self):
+        """Reference house_number_processor.py:194-205 letter-valued forms."""
+        for text, want in [
+            ("House No. F/30, Dhanmondi, Dhaka", "F/30"),
+            ("House C/36, Road 5, Gulshan", "C/36"),
+            ("House J57, Banani, Dhaka-1213", "J57"),
+        ]:
+            assert extract(text)["components"]["house_number"] == want, text
+
+    def test_house_combo_and_reversed(self):
+        """Reference :181 combo and :228-231 reversed `N no house` forms."""
+        for text, want in [
+            ("House 60 Kha 7, Mirpur, Dhaka", "60 Kha 7"),
+            ("12 no house, Rampura, Dhaka", "12"),
+            ("3/B no basa, Khilgaon, Dhaka", "3/B"),
+            ("Mahol-14, Lalbagh, Dhaka", "14"),
+        ]:
+            assert extract(text)["components"]["house_number"] == want, text
+
+    def test_standalone_compound_positional(self):
+        """Reference :264-281 bare compound numbers, with the structural
+        left-context veto (Road/Flat own their numbers)."""
+        for text, want in [
+            ("9/2(a), Shantinagar, Dhaka-1217", "9/2(a)"),
+            ("Mr Rahim, 345/3-5, Azimpur Road, Dhaka", "345/3-5"),
+            ("27/A/1, Wari, Dhaka", "27/A/1"),
+        ]:
+            assert extract(text)["components"]["house_number"] == want, text
+        for text in ["Road 24/3, Banani, Dhaka", "Flat 4/B, Gulshan, Dhaka"]:
+            assert not extract(text)["components"].get("house_number"), text
+
+    def test_line_avenue_ordinal_lane_roads(self):
+        """Reference road_processor.py:149-157 Line/Avenue/ordinal forms."""
+        for text, want in [
+            ("Line #16, Tejgaon, Dhaka", "16"),
+            ("Line-16, Tejgaon, Dhaka", "16"),
+            ("Baker 2nd Lane, Chawkbazar, Chittagong", "2nd Lane"),
+            ("Avenue 2, Mirpur, Dhaka", "2"),
+            ("Road-N05, Sector 7, Uttara, Dhaka", "N05"),
+        ]:
+            assert extract(text)["components"]["road"] == want, text
+
     def test_h_hash_letter_prefix(self):
         # "H# CB 11/12" normalizes to "H No CB 11/12"
         c = extract("H# CB 11/12, Agrabad, Chattogram")["components"]
