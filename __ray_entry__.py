@@ -212,6 +212,26 @@ def _q_knn_lsh(sf_dir):
     return F_sim.knn_lsh(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
 
 
+def _q_gazetteer_dim(sf_dir):
+    """A2/S7: gazetteer dim built FROM data — distributed count groupby over
+    the extracted turn components, driver-side mode/frequency finalize
+    (reference gazetteer.py:58-128)."""
+    import pyarrow.compute as pc
+    from ai_bangladesh_address_parser_ray.functions.gazetteer_build import (
+        build_gazetteer)
+    labels = _extracted(sf_dir).filter(
+        expr="area != '' and district != ''")
+    gaz = build_gazetteer(labels)
+    rows = sorted(gaz.areas.items())
+    return pa.table({
+        "area": pa.array([a for a, _ in rows], pa.string()),
+        "district": pa.array([d for _, (d, _v, _c) in rows], pa.string()),
+        "division": pa.array([v for _, (_d, v, _c) in rows], pa.string()),
+        "top_postal": pa.array([(c[0] if c else "") for _, (_d, _v, c)
+                                in rows], pa.string()),
+    })
+
+
 def _q_knn_ivf(sf_dir):
     mat, ids = _query_vectors(sf_dir)
     return F_sim.knn_ivf(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
@@ -440,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
+        "gazetteer_dim": _q_gazetteer_dim,
         "media_frame_features": _q_media_frames,
         "geo_enrich_turns": _q_geo_enrich,
         "validate_turns": _q_validate_turns,

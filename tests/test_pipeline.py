@@ -298,3 +298,30 @@ class TestDedupExtract:
             .to_pandas().sort_values("turn_idx").reset_index(drop=True)
         cols = ["turn_idx"] + COMPONENT_FIELDS
         pd.testing.assert_frame_equal(a[cols], b[cols])
+
+    def test_ner_factory_actor_pool_stage(self, ray_session):
+        """ST1: passing a model FACTORY flips extract_stage to an actor
+        pool — the model is constructed once per actor in __init__ (never
+        per batch / per row) and its evidence flows through the resolver.
+        Stand-in for the spaCy NER actor (model lib absent here)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.normalize import (
+            normalize_stage,
+        )
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            extract_stage,
+        )
+        rows = [{"conv_id": "c1", "turn_idx": i, "role": "user",
+                 "text": t, "tool": "", "ts": 0}
+                for i, t in enumerate(
+                    ["meet at the gulshan 2 office",
+                     "House 12, Road 5, Mirpur, Dhaka"])]
+        ds = normalize_stage(ray.data.from_items(rows))
+        from ai_bangladesh_address_parser_ray.kernel.ner import RuleNER
+        out = extract_stage(ds, concurrency=2,
+                            ner_model_factory=RuleNER) \
+            .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+        # NER evidence recovered the area the regex bank already knows
+        # (agreement case) and did not disturb the pure-regex row
+        assert out.loc[0, "area"] == "Gulshan"
+        assert out.loc[1, "house_number"] == "12"
