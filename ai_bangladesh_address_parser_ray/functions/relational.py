@@ -109,14 +109,32 @@ def revenue_topk(orders_ds, customer: pa.Table, k: int = 10):
                       Count("revenue_cents", alias_name="n_orders")))
     joined = broadcast_join(agg, customer, "o_custkey", "c_custkey",
                             payload=["c_name"])
+    return streaming_topk(joined, [("revenue_cents", True),
+                                   ("o_custkey", False)], k)
 
-    def _neg(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
-                                -1))
 
-    return (joined.map_batches(_neg, batch_format="pyarrow")
-            .sort(["_neg", "o_custkey"]).limit(k).drop_columns(["_neg"]))
+def streaming_topk(ds, order_by, k: int) -> pa.Table:
+    """Global top-k WITHOUT the sort all-to-all: the dataset streams and the
+    driver folds each (already small, one-row-per-group) block into a
+    k-row buffer — O(k + block) driver memory, deterministic under any
+    partitioning because ``order_by`` is a total order.
+
+    ``order_by``: list of ``(column, descending)``; the k rows come back
+    as a pyarrow Table sorted by that order. Replaces ``.sort().limit(k)``
+    (two extra barriers, a full-shuffle of the aggregate) on every top-k
+    tail in this module."""
+    import pandas as pd
+
+    cols = [c for c, _ in order_by]
+    asc = [not d for _, d in order_by]
+    buf = None
+    for b in ds.iter_batches(batch_format="pandas"):
+        cand = b if buf is None else pd.concat([buf, b], ignore_index=True)
+        buf = cand.sort_values(cols, ascending=asc, kind="mergesort") \
+            .head(k).reset_index(drop=True)
+    if buf is None:
+        return pa.table({})
+    return pa.Table.from_pandas(buf, preserve_index=False)
 
 
 # -------------------------------------------------------- sessionization ----
@@ -429,15 +447,10 @@ def unshipped_revenue_topk(lineitem_ds, orders_ds, customer: pa.Table,
     joined = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey",
                        num_partitions=num_partitions)
 
-    def _neg(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
-                                -1))
-
-    return (joined.select_columns(["l_orderkey", "revenue_cents",
-                                   "o_orderdate", "o_orderpriority"])
-            .map_batches(_neg, batch_format="pyarrow")
-            .sort(["_neg", "l_orderkey"]).limit(k).drop_columns(["_neg"]))
+    return streaming_topk(
+        joined.select_columns(["l_orderkey", "revenue_cents",
+                               "o_orderdate", "o_orderpriority"]),
+        [("revenue_cents", True), ("l_orderkey", False)], k)
 
 
 def regional_supplier_volume(lineitem_ds, orders_ds, customer: pa.Table,
@@ -527,16 +540,13 @@ def regional_supplier_volume(lineitem_ds, orders_ds, customer: pa.Table,
             "revenue_cents": t["revenue_cents"],
         })
 
-    def _neg(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_neg", pc.multiply(pc.cast(batch["revenue_cents"], pa.int64()),
-                                -1))
-
-    return (joined.map_batches(_filter_name, batch_format="pyarrow")
-            .groupby("n_name")
-            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-            .map_batches(_neg, batch_format="pyarrow")
-            .sort(["_neg", "n_name"]).drop_columns(["_neg"]))
+    agg = (joined.map_batches(_filter_name, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    # one row per nation in the region: the "top-k" is the whole set,
+    # ordered — the streaming fold replaces a sort barrier
+    return streaming_topk(agg, [("revenue_cents", True),
+                                ("n_name", False)], k=1 << 30)
 
 
 # --------------------------------------------------------- window agg ----
