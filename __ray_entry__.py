@@ -305,6 +305,16 @@ def _q_media_frames(sf_dir):
     return F_mm.frame_sample_stage(media, n_frames=4, fake=True)
 
 
+def _q_media_decode(sf_dir):
+    """REAL pixel path: synthetic binary PGM payloads -> nearest-neighbor
+    resize -> decode (pure-numpy netpbm codec) -> per-image stats."""
+    media = F_mm.attach_fake_media(_read(sf_dir, "documents"),
+                                   real_images=True)
+    return F_mm.decode_stage(
+        F_mm.resize_stage(media, out_w=16, out_h=16, concurrency=2),
+        fake=False, concurrency=2)
+
+
 # ---- relational / stream operators (SQL-oracled) ----
 
 def _q_revenue_topk(sf_dir):
@@ -462,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": _q_knn_ivf,
         "gazetteer_dim": _q_gazetteer_dim,
         "media_frame_features": _q_media_frames,
+        "media_decode_stats": _q_media_decode,
         "geo_enrich_turns": _q_geo_enrich,
         "validate_turns": _q_validate_turns,
         "format_turns": _q_format_turns,

@@ -438,11 +438,55 @@ class TestMultimodal:
         assert "payload" not in out.columns
         assert len(out) == 500
 
-    def test_decode_real_raises(self):
+    def test_decode_real_raises_for_compressed_magics(self):
         from ai_bangladesh_address_parser_ray.functions.multimodal import (
             DecodeImage)
         with pytest.raises(NotImplementedError):
-            DecodeImage(fake=False)._decode(b"xx")
+            DecodeImage(fake=False)._decode(b"\xff\xd8jpeg...")
+
+    def test_netpbm_roundtrip(self):
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            decode_netpbm, encode_netpbm, nn_resize)
+        img = (np.arange(40 * 30, dtype=np.uint64) % 256) \
+            .astype(np.uint8).reshape(30, 40)
+        np.testing.assert_array_equal(decode_netpbm(encode_netpbm(img)), img)
+        rgb = np.dstack([img, img // 2, img // 3])
+        np.testing.assert_array_equal(decode_netpbm(encode_netpbm(rgb)), rgb)
+        # comment-tolerant header
+        hdr = b"P5\n# a comment\n40 30\n255\n" + img.tobytes()
+        np.testing.assert_array_equal(decode_netpbm(hdr), img)
+        small = nn_resize(img, 8, 8)
+        assert small.shape == (8, 8)
+        assert small.dtype == np.uint8
+
+    def test_decode_real_pixels(self, ray_session):
+        """fake=False over real PGM payloads: width/height/mean_luma are
+        the true pixel stats, not hash stand-ins."""
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            attach_fake_media, decode_netpbm, decode_stage)
+        media = attach_fake_media(_docs_ds(), real_images=True)
+        payloads = {r["media_id"]: r["payload"]
+                    for b in media.iter_batches(batch_format="pyarrow")
+                    for r in b.to_pylist()}
+        out = decode_stage(attach_fake_media(_docs_ds(), real_images=True),
+                           fake=False).to_pandas()
+        assert len(out) == 500
+        for r in out.sample(20, random_state=0).itertuples():
+            img = decode_netpbm(payloads[r.media_id])
+            assert (r.width, r.height) == (img.shape[1], img.shape[0])
+            assert abs(r.mean_luma - img.mean() / 255.0) < 1e-5
+
+    def test_resize_then_decode_composes(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.multimodal import (
+            attach_fake_media, decode_stage, resize_stage)
+        media = attach_fake_media(_docs_ds(), real_images=True)
+        # two chained actor pools on the 4-cpu test cluster: keep
+        # concurrency at 1+1 so upstream map tasks still get CPUs
+        out = decode_stage(resize_stage(media, out_w=16, out_h=12,
+                                        concurrency=1),
+                           fake=False, concurrency=1).to_pandas()
+        assert (out.width == 16).all() and (out.height == 12).all()
+        assert out.mean_luma.between(0, 1).all()
 
     def test_frame_sample_explodes(self, ray_session):
         from ai_bangladesh_address_parser_ray.functions.multimodal import (
