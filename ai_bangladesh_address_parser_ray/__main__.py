@@ -38,10 +38,15 @@ def _init_ray():
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
-def cmd_address(text: str, detailed: bool) -> int:
-    from .kernel.extract import extract
-    print(json.dumps(extract(text, detailed=detailed), ensure_ascii=False,
-                     indent=2, default=str))
+def cmd_address(text: str, detailed: bool, profile: str = None) -> int:
+    from .kernel.extract import ExtractionKernel, extract, stages_for_profile
+    if profile:
+        res = ExtractionKernel(
+            stages=stages_for_profile(profile)).extract(text,
+                                                        detailed=detailed)
+    else:
+        res = extract(text, detailed=detailed)
+    print(json.dumps(res, ensure_ascii=False, indent=2, default=str))
     return 0
 
 
@@ -52,7 +57,8 @@ def cmd_demo() -> int:
 
 
 def cmd_batch(in_path: str, out_dir: str, detailed: bool,
-              text_col: str = "text", limit: int = 0) -> int:
+              text_col: str = "text", limit: int = 0,
+              profile: str = None) -> int:
     _init_ray()
     import time
 
@@ -62,7 +68,12 @@ def cmd_batch(in_path: str, out_dir: str, detailed: bool,
     ds = ray.data.read_parquet(in_path)
     if limit:
         ds = ds.limit(limit)
-    ds = extract_stage(ds, text_column=text_col, detailed=detailed)
+    stages = None
+    if profile:
+        from .kernel.extract import stages_for_profile
+        stages = stages_for_profile(profile)
+    ds = extract_stage(ds, text_column=text_col, detailed=detailed,
+                       stages=stages)
     ds.write_parquet(out_dir)
     n = ds.count()
     dt = time.time() - t0
@@ -99,15 +110,20 @@ def main(argv=None) -> int:
                    help="input column holding the address text (--batch)")
     p.add_argument("--limit", type=int, default=0,
                    help="only process the first N rows (--batch)")
+    p.add_argument("--profile", default=None,
+                   choices=["fast", "balanced", "accurate"],
+                   help="stage profile (reference control_stages.py "
+                        "fast/balanced/accurate bundles)")
     args = p.parse_args(argv)
 
     if args.address:
-        return cmd_address(args.address, args.detailed)
+        return cmd_address(args.address, args.detailed, args.profile)
     if args.demo:
         return cmd_demo()
     if args.batch:
         return cmd_batch(args.batch[0], args.batch[1], args.detailed,
-                         text_col=args.text_col, limit=args.limit)
+                         text_col=args.text_col, limit=args.limit,
+                         profile=args.profile)
     return cmd_linkage(args.linkage[0], args.linkage[1],
                        args.checkpoint_dir)
 

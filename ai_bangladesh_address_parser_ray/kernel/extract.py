@@ -45,6 +45,26 @@ DEFAULT_THRESHOLDS = {
 _STAGE_DEFAULTS = {"fsm": True, "regex": True, "ner": True,
                    "gazetteer": True, "geo": True}
 
+# Performance profiles (reference tools/control_stages.py:45-68): named
+# stage-toggle bundles. Stages 2/4/8/9 (normalize, regex, resolve, output)
+# are mandatory there and here; `fast` = regex-only, `balanced` drops the
+# cheap duplicated evidence sources but keeps enrichment, `accurate` = all.
+STAGE_PROFILES = {
+    "fast": {"fsm": False, "regex": True, "ner": False,
+             "gazetteer": False, "geo": False},
+    "balanced": {"fsm": False, "regex": True, "ner": True,
+                 "gazetteer": True, "geo": True},
+    "accurate": dict(_STAGE_DEFAULTS),
+}
+
+
+def stages_for_profile(profile: str) -> dict:
+    try:
+        return dict(STAGE_PROFILES[profile])
+    except KeyError:
+        raise ValueError(
+            f"unknown profile {profile!r}; one of {sorted(STAGE_PROFILES)}")
+
 
 def _build_prescreen():
     """Necessary-condition gate for ANY evidence, part of the kernel SPEC

@@ -23,6 +23,24 @@ class TestKernelCommands:
         assert main(["--demo"]) == 0
         assert "Dhanmondi" in capsys.readouterr().out
 
+    def test_profile_fast_vs_accurate(self, capsys):
+        """Reference control_stages.py profiles: `fast` disables the
+        gazetteer/geo enrichment (no inferred postal for a bare area),
+        `accurate` keeps it."""
+        main(["--address", "Banani, Dhaka", "--profile", "fast"])
+        fast = json.loads(capsys.readouterr().out)
+        assert fast["components"]["postal_code"] == ""
+        main(["--address", "Banani, Dhaka", "--profile", "accurate"])
+        acc = json.loads(capsys.readouterr().out)
+        assert acc["components"]["postal_code"] == "1213"
+
+    def test_profile_unknown_rejected(self):
+        from ai_bangladesh_address_parser_ray.kernel.extract import (
+            stages_for_profile)
+        import pytest
+        with pytest.raises(ValueError):
+            stages_for_profile("turbo")
+
 
 class TestBatchCommand:
     def test_batch_parquet_roundtrip(self, ray_session, tmp_path):
