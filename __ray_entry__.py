@@ -212,6 +212,17 @@ def _q_knn_lsh(sf_dir):
     return F_sim.knn_lsh(_read(sf_dir, "embeddings"), mat, ids, k=_KNN_K)
 
 
+def _q_extract_detailed(sf_dir):
+    """Opt-in debug evidence columns (reference detailed=True metadata,
+    extractor.py:291-321): winning source per component, conflict count,
+    enabled stages, script."""
+    from ai_bangladesh_address_parser_ray.stages.extract import extract_stage
+    ds = extract_stage(normalize_stage(_transcripts(sf_dir)), detailed=True)
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "meta_script", "meta_sources",
+         "meta_conflicts", "meta_enabled_stages"])
+
+
 def _q_gazetteer_dim(sf_dir):
     """A2/S7: gazetteer dim built FROM data — distributed count groupby over
     the extracted turn components, driver-side mode/frequency finalize
@@ -471,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
         "gazetteer_dim": _q_gazetteer_dim,
+        "extract_detailed_turns": _q_extract_detailed,
         "media_frame_features": _q_media_frames,
         "media_decode_stats": _q_media_decode,
         "geo_enrich_turns": _q_geo_enrich,
