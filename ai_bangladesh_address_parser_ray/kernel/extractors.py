@@ -71,8 +71,10 @@ _HOUSE_PATTERNS = [
 # reference applies its standalone bank only after keyword banks miss and
 # vetoes context words, house_number_processor.py:253-281)
 _HOUSE_POSITIONAL = [
-    # leading positional: "105/A, Central Road ..."
-    (re.compile(rf"^\s*(\d{{1,4}}(?:/[A-Za-z0-9]+)?)\s*[, ]"), 0.75),
+    # leading positional: "105/A, Central Road ...", "10/1/D North Bashabo",
+    # "43-R/5 Indira Road", "25A Dilu Road" (multi-segment compounds)
+    (re.compile(r"^\s*(\d{1,4}[A-Za-z]?"
+                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s*[, ]"), 0.75),
     # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
     (re.compile(r"\b(\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3})"
                 r"\s*,"), 0.72),
@@ -155,8 +157,14 @@ _ROAD_PATTERNS = [
     (re.compile(r"\bR\s*[-.]\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
 ]
 _NAMED_ROAD = re.compile(
-    r"\b(?:Road|Lane|Avenue|Street|Goli|Sarani|Sarak)\b\s*$", re.I)
+    r"\b(?:Road|Lane|Line|Avenue|Street|Goli|Sarani|Sarak)\b\s*$", re.I)
 _FEET_ROAD = re.compile(r"\b(\d+\s*feet\s*road)\b", re.I)
+# bare "60 Feet" names a road in Dhaka usage (reference road bank :184)
+_FEET_BARE = re.compile(r"\b(\d+\s*feet)\b", re.I)
+# mid-segment named road: "South Fuller Road Residential Area" -> capture
+# "South Fuller Road" (reference allows \s in the lookahead, :175-176)
+_NAMED_ROAD_MID = re.compile(
+    r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+){0,3}\s+(?:Road|Lane|Avenue))\b")
 
 
 def extract_road(text: str) -> Hit:
@@ -167,11 +175,17 @@ def extract_road(text: str) -> Hit:
     m = _FEET_ROAD.search(text)
     if m:
         return m.group(1), 0.90
-    # named roads: a comma segment ending in Road/Lane/Avenue/Goli/...
+    # named roads: a comma segment ending in Road/Lane/Line/Avenue/Goli/...
     for seg in text.split(","):
         seg = seg.strip()
         if seg and _NAMED_ROAD.search(seg) and len(seg) <= 48:
             return seg, 0.85
+    m = _NAMED_ROAD_MID.search(text)
+    if m:
+        return m.group(1), 0.80
+    m = _FEET_BARE.search(text)
+    if m:
+        return m.group(1), 0.78
     return None
 
 
@@ -182,9 +196,15 @@ _AREA_RE = re.compile(
 
 
 def extract_area(text: str) -> Hit:
-    m = _AREA_RE.search(text)
-    if m:
-        return area_display(m.group(1).lower()), 0.90
+    # LAST mention wins: the reference's intelligent scorer boosts
+    # candidates later in the string (position ratio / before-city boost,
+    # area_processor.py:965-1118) — "Shewrapara, Mirpur, Dhaka" is
+    # labeled Mirpur, the parent area closest to the city
+    last = None
+    for m in _AREA_RE.finditer(text):
+        last = m
+    if last:
+        return area_display(last.group(1).lower()), 0.90
     return None
 
 
@@ -331,9 +351,12 @@ def extract_flat(text: str) -> Hit:
 
 # ---------------------------------------------------------------- floor
 _FLOOR_PATTERNS = [
+    # "Lift N" outranks an ordinal floor in the reference corpus labels
+    # ("7th Floor (Lift-6)" -> floor 6; floor_number_processor.py lift bank)
+    (re.compile(r"\bLift\s*(?:No\.?\s*)?[-:]?\s*(\d+)\b", re.I), 0.92),
     (re.compile(r"\b(\d+)\s*(?:st|nd|rd|th)\s*Floor\b", re.I), 0.90),
     (re.compile(r"\bFloor\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
-    (re.compile(r"\bLevel\s*-?\s*(\d+)\b", re.I), 0.80),
+    (re.compile(r"\bLevel\s*(?:No\.?\s*)?-?\s*(\d+)\b", re.I), 0.80),
 ]
 
 

@@ -48,6 +48,54 @@ AREAS: Dict[str, tuple] = {
     "khalishpur":    ("Khulna", "Khulna", ["9000"]),
     "rupatali":      ("Barisal", "Barisal", ["8200"]),
     "ganginarpar":   ("Mymensingh", "Mymensingh", ["2200"]),
+    # widened toward the reference's area vocabulary (its labeled corpus +
+    # common_areas list, area_processor.py:123-133): public Bangladesh
+    # neighborhood -> district/division/postcode facts
+    "rampura":       ("Dhaka", "Dhaka", ["1219"]),
+    "banasree":      ("Dhaka", "Dhaka", ["1219"]),
+    "khilkhet":      ("Dhaka", "Dhaka", ["1229"]),
+    "jatrabari":     ("Dhaka", "Dhaka", ["1204"]),
+    "adabor":        ("Dhaka", "Dhaka", ["1207"]),
+    "moghbazar":     ("Dhaka", "Dhaka", ["1217"]),
+    "azimpur":       ("Dhaka", "Dhaka", ["1205"]),
+    "aftab nagar":   ("Dhaka", "Dhaka", ["1212"]),
+    "demra":         ("Dhaka", "Dhaka", ["1360"]),
+    "lalbagh":       ("Dhaka", "Dhaka", ["1211"]),
+    "agargaon":      ("Dhaka", "Dhaka", ["1207"]),
+    "kafrul":        ("Dhaka", "Dhaka", ["1206"]),
+    "shewrapara":    ("Dhaka", "Dhaka", ["1216"]),
+    "lalmatia":      ("Dhaka", "Dhaka", ["1207"]),
+    "pallabi":       ("Dhaka", "Dhaka", ["1216"]),
+    "bashabo":       ("Dhaka", "Dhaka", ["1214"]),
+    "wari":          ("Dhaka", "Dhaka", ["1203"]),
+    "malibagh":      ("Dhaka", "Dhaka", ["1217"]),
+    "baridhara":     ("Dhaka", "Dhaka", ["1212"]),
+    "kalabagan":     ("Dhaka", "Dhaka", ["1205"]),
+    "kallyanpur":    ("Dhaka", "Dhaka", ["1207"]),
+    "cantonment":    ("Dhaka", "Dhaka", ["1206"]),
+    "gandaria":      ("Dhaka", "Dhaka", ["1204"]),
+    "kakrail":       ("Dhaka", "Dhaka", ["1000"]),
+    "segunbagicha":  ("Dhaka", "Dhaka", ["1000"]),
+    "shantinagar":   ("Dhaka", "Dhaka", ["1217"]),
+    "hazaribagh":    ("Dhaka", "Dhaka", ["1209"]),
+    "banglamotor":   ("Dhaka", "Dhaka", ["1000"]),
+    "green road":    ("Dhaka", "Dhaka", ["1205"]),
+    "elephant road": ("Dhaka", "Dhaka", ["1205"]),
+    "nikunja":       ("Dhaka", "Dhaka", ["1229"]),
+    "banasree rampura": ("Dhaka", "Dhaka", ["1219"]),
+    "shahbagh":      ("Dhaka", "Dhaka", ["1000"]),
+    "keraniganj":    ("Dhaka", "Dhaka", ["1310"]),
+    "khulshi":       ("Chattogram", "Chattogram", ["4202"]),
+    "lalkhan bazar": ("Chattogram", "Chattogram", ["4000"]),
+    "chawkbazar":    ("Chattogram", "Chattogram", ["4203"]),
+    "bakolia":       ("Chattogram", "Chattogram", ["4203"]),
+    "kotwali":       ("Chattogram", "Chattogram", ["4000"]),
+    "muradpur":      ("Chattogram", "Chattogram", ["4203"]),
+    "siddhirganj":   ("Narayanganj", "Dhaka", ["1430"]),
+    "fatullah":      ("Narayanganj", "Dhaka", ["1420"]),
+    "uposhohor":     ("Rajshahi", "Rajshahi", ["6202"]),
+    "sapura":        ("Rajshahi", "Rajshahi", ["6203"]),
+    "daulatpur":     ("Khulna", "Khulna", ["9202"]),
 }
 
 DISTRICT_TO_DIVISION: Dict[str, str] = {
@@ -286,7 +334,15 @@ def fuzzy_match_area(token: str,
     for name in sorted(areas):
         nset = set(name)
         ov = len(tset & nset) / len(tset | nset)
-        if ov >= 0.70 and (name[:4] == t[:4] or ov > 0.85):
-            if ov > best_ov:
-                best_name, best_ov = name, ov
+        # char-SET overlap alone admits anagrams ("dream" ~ "demra" share
+        # an identical set) and sibling names ("sonargaon" ~ "sonadanga"
+        # at 0.71): require the shared 4-char prefix core at >=0.75, and
+        # gate the no-prefix escape on ORDERED similarity like the
+        # reference's SequenceMatcher check (gazetteer.py:352-375)
+        ok = ov >= 0.75 and name[:4] == t[:4]
+        if not ok and ov > 0.85:
+            from difflib import SequenceMatcher
+            ok = SequenceMatcher(None, t, name).ratio() >= 0.80
+        if ok and ov > best_ov:
+            best_name, best_ov = name, ov
     return best_name
