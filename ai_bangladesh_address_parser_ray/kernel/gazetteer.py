@@ -98,19 +98,50 @@ AREAS: Dict[str, tuple] = {
     "daulatpur":     ("Khulna", "Khulna", ["9202"]),
 }
 
+# the complete 64-district -> division map (public administrative facts;
+# the reference ships the same mapping as
+# data/geographic/division/district-to-division-mapping.json). Keys are
+# post-normalization lowercase; spelling aliases included where the
+# normalizer doesn't already canonicalize them.
 DISTRICT_TO_DIVISION: Dict[str, str] = {
-    "dhaka": "Dhaka",
-    "gazipur": "Dhaka",
-    "narayanganj": "Dhaka",
-    "chattogram": "Chattogram",
-    "comilla": "Chattogram",
-    "cox's bazar": "Chattogram",
-    "sylhet": "Sylhet",
-    "rajshahi": "Rajshahi",
-    "khulna": "Khulna",
-    "barisal": "Barisal",
-    "rangpur": "Rangpur",
-    "mymensingh": "Mymensingh",
+    # Dhaka division
+    "dhaka": "Dhaka", "gazipur": "Dhaka", "narayanganj": "Dhaka",
+    "narsingdi": "Dhaka", "munshiganj": "Dhaka", "manikganj": "Dhaka",
+    "tangail": "Dhaka", "kishoreganj": "Dhaka", "faridpur": "Dhaka",
+    "gopalganj": "Dhaka", "madaripur": "Dhaka", "shariatpur": "Dhaka",
+    "rajbari": "Dhaka",
+    # Chattogram division
+    "chattogram": "Chattogram", "cox's bazar": "Chattogram",
+    "coxs bazar": "Chattogram", "comilla": "Chattogram",
+    "cumilla": "Chattogram", "brahmanbaria": "Chattogram",
+    "chandpur": "Chattogram", "lakshmipur": "Chattogram",
+    "noakhali": "Chattogram", "feni": "Chattogram",
+    "khagrachhari": "Chattogram", "rangamati": "Chattogram",
+    "bandarban": "Chattogram",
+    # Sylhet division
+    "sylhet": "Sylhet", "moulvibazar": "Sylhet", "habiganj": "Sylhet",
+    "sunamganj": "Sylhet",
+    # Rajshahi division
+    "rajshahi": "Rajshahi", "natore": "Rajshahi", "naogaon": "Rajshahi",
+    "chapainawabganj": "Rajshahi", "pabna": "Rajshahi",
+    "sirajganj": "Rajshahi", "bogra": "Rajshahi", "bogura": "Rajshahi",
+    "joypurhat": "Rajshahi",
+    # Khulna division
+    "khulna": "Khulna", "bagerhat": "Khulna", "satkhira": "Khulna",
+    "jessore": "Khulna", "jashore": "Khulna", "jhenaidah": "Khulna",
+    "magura": "Khulna", "narail": "Khulna", "kushtia": "Khulna",
+    "chuadanga": "Khulna", "meherpur": "Khulna",
+    # Barisal division
+    "barisal": "Barisal", "bhola": "Barisal", "patuakhali": "Barisal",
+    "pirojpur": "Barisal", "barguna": "Barisal", "jhalokati": "Barisal",
+    # Rangpur division
+    "rangpur": "Rangpur", "dinajpur": "Rangpur", "thakurgaon": "Rangpur",
+    "panchagarh": "Rangpur", "nilphamari": "Rangpur",
+    "lalmonirhat": "Rangpur", "kurigram": "Rangpur",
+    "gaibandha": "Rangpur",
+    # Mymensingh division
+    "mymensingh": "Mymensingh", "jamalpur": "Mymensingh",
+    "netrokona": "Mymensingh", "sherpur": "Mymensingh",
 }
 
 DIVISIONS = [

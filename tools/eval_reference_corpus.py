@@ -15,13 +15,17 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from ai_bangladesh_address_parser_ray.kernel.extract import extract  # noqa: E402
+from ai_bangladesh_address_parser_ray.kernel.normalizer import normalize  # noqa: E402
 
 FIELDS = ["house_number", "road", "area", "district", "division",
           "postal_code", "flat_number", "floor_number", "block_number"]
 
 
 def canon(s):
-    return (s or "").strip().lower()
+    # labels mix scripts ("মিরপুর" vs "Mirpur"): compare in the kernel's
+    # canonical space so a correct extraction of a Bangla-labeled value
+    # is not scored as a miss
+    return normalize((s or "")).strip().lower()
 
 
 def main():
