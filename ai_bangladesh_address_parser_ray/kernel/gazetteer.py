@@ -96,6 +96,22 @@ AREAS: Dict[str, tuple] = {
     "uposhohor":     ("Rajshahi", "Rajshahi", ["6202"]),
     "sapura":        ("Rajshahi", "Rajshahi", ["6203"]),
     "daulatpur":     ("Khulna", "Khulna", ["9202"]),
+    "kazipara":      ("Dhaka", "Dhaka", ["1216"]),
+    "panthapath":    ("Dhaka", "Dhaka", ["1205"]),
+    "vatara":        ("Dhaka", "Dhaka", ["1212"]),
+    "matuail":       ("Dhaka", "Dhaka", ["1362"]),
+    "manda":         ("Dhaka", "Dhaka", ["1214"]),
+    "mugda":         ("Dhaka", "Dhaka", ["1214"]),
+    "faridabad":     ("Dhaka", "Dhaka", ["1204"]),
+    "hatirpool":     ("Dhaka", "Dhaka", ["1205"]),
+    "niketon":       ("Dhaka", "Dhaka", ["1212"]),
+    "ibrahimpur":    ("Dhaka", "Dhaka", ["1206"]),
+    "mirpur dohs":   ("Dhaka", "Dhaka", ["1216"]),
+    "tongi":         ("Gazipur", "Dhaka", ["1710"]),
+    "dewanhat":      ("Chattogram", "Chattogram", ["4100"]),
+    "chandgaon":     ("Chattogram", "Chattogram", ["4212"]),
+    "oxygen":        ("Chattogram", "Chattogram", ["4213"]),
+    "shiddhirganj":  ("Narayanganj", "Dhaka", ["1430"]),
 }
 
 # the complete 64-district -> division map (public administrative facts;
