@@ -73,6 +73,30 @@ class LinkageConfig:
         return out
 
 
+def _lookup_dual_hash(h_sorted, h2_sorted, nh, nh2, has_dup: bool):
+    """Positions + hit mask of (nh, nh2) in an index lexsorted by (h, h2).
+
+    searchsorted finds the LEFTMOST entry of an h run; when the index holds
+    duplicate lo-hashes (64-bit collision between two node_ids) the scan
+    walks each run until the verify hash matches — without it the second
+    colliding node's rows would silently miss and be labeled singletons."""
+    import numpy as np
+    n_idx = len(h_sorted)
+    pos_c = np.minimum(np.searchsorted(h_sorted, nh), n_idx - 1)
+    hit = (h_sorted[pos_c] == nh) & (h2_sorted[pos_c] == nh2)
+    if has_dup:
+        scan = pos_c.copy()
+        cand = (~hit) & (h_sorted[scan] == nh) & (scan + 1 < n_idx)
+        while cand.any():   # bounded by the longest collision run
+            scan = scan + cand.astype(scan.dtype)
+            ok = cand & (h_sorted[scan] == nh)
+            found = ok & (h2_sorted[scan] == nh2)
+            pos_c = np.where(found, scan, pos_c)
+            hit |= found
+            cand = ok & ~found & (scan + 1 < n_idx)
+    return pos_c, hit
+
+
 def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int,
                         precomputed_ref=None, n_clusters=None):
     """Label every turn with its cluster_id; unlabeled turns (no edges) are
@@ -98,7 +122,10 @@ def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int,
         import numpy as np
         from ..stages.normalize import _hash64, HASH_SEED_LO, HASH_SEED_HI
 
+        has_dup = False
         if precomputed_ref is not None:
+            # built by unionfind._broadcast_components, which only publishes
+            # it after verifying the node universe has UNIQUE lo-hashes
             idx_ref = precomputed_ref
         elif n_c == 0:
             idx_ref = None
@@ -108,7 +135,14 @@ def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int,
                 promote_options="default")
             h = _hash64(tbl["node_id"], HASH_SEED_LO).to_numpy()
             h2 = _hash64(tbl["node_id"], HASH_SEED_HI).to_numpy()
-            order = np.argsort(h, kind="stable")
+            # lexsort (h, then h2): on a 64-bit lo-hash collision between
+            # two node_ids, searchsorted alone finds only the leftmost run
+            # entry — the duplicate-run scan in _attach needs the run
+            # ordered by h2 to probe every colliding entry (mirrors the
+            # collision handling in unionfind._broadcast_components).
+            order = np.lexsort((h2, h))
+            has_dup = bool(len(h) > 1
+                           and (np.diff(h[order]) == 0).any())
             idx_ref = ray.put((
                 np.ascontiguousarray(h[order]),
                 np.ascontiguousarray(h2[order]),
@@ -125,9 +159,8 @@ def _join_clusters_back(extracted, clusters, cfg, broadcast_limit: int,
             h_sorted, h2_sorted, roots = ray.get(idx_ref)
             nh = batch["node_h"].to_numpy()
             nh2 = batch["node_h2"].to_numpy()
-            pos = np.searchsorted(h_sorted, nh)
-            pos_c = np.minimum(pos, len(h_sorted) - 1)
-            hit = (h_sorted[pos_c] == nh) & (h2_sorted[pos_c] == nh2)
+            pos_c, hit = _lookup_dual_hash(h_sorted, h2_sorted, nh, nh2,
+                                           has_dup)
             taken = roots.take(pa.array(pos_c, pa.int64()))
             lab = pc.if_else(pa.array(hit), taken, node_col)
             if isinstance(lab, pa.ChunkedArray):
@@ -176,7 +209,11 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     """
     import time as _time
 
-    cfg_fp = fingerprint(asdict(cfg), input_token)  # pre-resolve: stable
+    from ..stages.normalize import hash_probe
+    # pre-resolve cfg: stable across cluster sizes. hash_probe() invalidates
+    # checkpoints whose persisted text_h/node_h came from a different
+    # polars hash function (see normalize.hash_probe).
+    cfg_fp = fingerprint(asdict(cfg), input_token, hash_probe())
     cfg = cfg.resolved()
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     metrics: dict = {}
@@ -234,8 +271,14 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
         m = ckpt.manifest("01_extracted")
         _phase_done("extract", m.get("rows") if m else None)
     else:
+        import atexit
+        import shutil
         import tempfile
         spill_dir = tempfile.mkdtemp(prefix="abap_extract_spill_")
+        # the spill is corpus-scale and consumed lazily by the returned
+        # datasets, so it can't be removed here — reclaim it at interpreter
+        # exit instead of leaking one dir per run_linkage call
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
         compute_extracted().write_parquet(spill_dir)
         import pyarrow.dataset as _pads
         n_extracted = _pads.dataset(spill_dir).count_rows()  # metadata only
@@ -268,19 +311,22 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
              if cfg.checkpoint_dir else compute_edges().materialize())
     _phase_done("edges", edges.count())
 
-    # ---- phase 4: transitive closure (SHUFFLE 3..k)
-    from ..stages.unionfind import LAST_RUN_INFO as _uf_info
-    _uf_info.clear()   # so a checkpoint-restored phase records no stale info
+    # ---- phase 4: transitive closure (SHUFFLE 3..k).
+    # run info (strategy, rounds, joinback index ref) flows through a
+    # PER-RUN dict — never the module global, which concurrent pipelines
+    # in one driver would cross-wire (stays empty on checkpoint restore).
+    _uf_info: dict = {}
 
     def compute_clusters():
         return connected_components(
             edges, num_partitions=cfg.num_partitions,
-            max_rounds=cfg.max_uf_rounds)
+            max_rounds=cfg.max_uf_rounds, run_info=_uf_info)
 
     clusters = (ckpt.run("04_clusters", cfg_fp, compute_clusters)
                 if cfg.checkpoint_dir else compute_clusters())
     _phase_done("unionfind", None)
-    metrics["unionfind"].update(_uf_info)
+    metrics["unionfind"].update(
+        {k: v for k, v in _uf_info.items() if k != "joinback_index_ref"})
 
     # ---- phase 5: label every turn; nodes outside any edge are singletons.
     # The cluster table is mention-scale; when it fits a worker's heap the

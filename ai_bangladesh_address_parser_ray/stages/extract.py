@@ -221,8 +221,13 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
                               pa_.int32()))
 
     def _distinct(df):
-        return df.drop_duplicates("text_h")[["text_h", "text_h2",
-                                             "norm_text"]]
+        # dedup on BOTH halves of the 128-bit key: the join back is on
+        # (text_h, text_h2), so two distinct texts colliding on the 64-bit
+        # text_h must BOTH survive here or one text's turns would be
+        # silently dropped by the inner join (expected at ~2^32 distinct
+        # texts — i.e. at the design point).
+        return df.drop_duplicates(["text_h", "text_h2"])[
+            ["text_h", "text_h2", "norm_text"]]
 
     distinct = (
         ds.select_columns(["text_h", "text_h2", "norm_text"])  # prune first

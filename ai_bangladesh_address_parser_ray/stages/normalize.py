@@ -37,6 +37,18 @@ def _hash64(values, seed: int = HASH_SEED_LO) -> pa.Array:
     return out.cast(pa.uint64())
 
 
+def hash_probe() -> tuple:
+    """Environment fingerprint of the _hash64 kernel: the hash of a sentinel
+    string under both seeds. polars ``.hash()`` is documented as unstable
+    across polars releases, and text_h/node_h are persisted in Parquet
+    checkpoints — a checkpoint resumed under a polars that hashes
+    differently would silently miss every join. Mixing this probe into the
+    checkpoint fingerprint turns that into a clean invalidation instead."""
+    sentinel = ["abap-hash-probe:ঢাকা-1205"]
+    return (_hash64(sentinel, HASH_SEED_LO)[0].as_py(),
+            _hash64(sentinel, HASH_SEED_HI)[0].as_py())
+
+
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     norm = normalize_array(pc.cast(batch["text"], pa.string()))
     # stable node id for linkage graph nodes: "conv:turn" with zero-padded

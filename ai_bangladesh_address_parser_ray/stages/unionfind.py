@@ -35,13 +35,16 @@ def _rename(ds, mapping: dict):
 BROADCAST_LABEL_LIMIT = 8_000_000
 
 # diagnostics of the last connected_components call (rounds used,
-# convergence); read by run_linkage to populate pipeline metrics
+# convergence). DIAGNOSTIC ONLY: concurrent pipelines in one driver would
+# cross-wire this global, so run_linkage passes its own ``run_info`` dict
+# and consumes the joinback index from THAT, never from here.
 LAST_RUN_INFO: dict = {}
 
 
 def connected_components(edges, num_partitions: int = 32,
                          max_rounds: int = 16,
-                         broadcast_limit: int = BROADCAST_LABEL_LIMIT):
+                         broadcast_limit: int = BROADCAST_LABEL_LIMIT,
+                         run_info: dict = None):
     """edges: Dataset[(u:string, v:string)] -> Dataset[(node_id, cluster_id)].
 
     cluster_id is the lexicographic min node_id of the component (stable,
@@ -96,7 +99,8 @@ def connected_components(edges, num_partitions: int = 32,
         nodes = _collect_universe(edges)
         _mark(f"collect_universe ({len(nodes)} nodes)")
         if len(nodes) <= broadcast_limit:
-            return _broadcast_components(edges, max_rounds, nodes=nodes)
+            return _broadcast_components(edges, max_rounds, nodes=nodes,
+                                         run_info=run_info)
 
     # symmetric edge list: (src, dst) both directions
     fwd = _rename(edges.select_columns(["u", "v"]),
@@ -105,10 +109,23 @@ def connected_components(edges, num_partitions: int = 32,
                   {"v": "src", "u": "dst"}).select_columns(["src", "dst"])
     sym = fwd.union(rev).materialize()
     _mark("sym_materialize")
-    return _hashjoin_components(sym, num_partitions, max_rounds)
+    return _hashjoin_components(sym, num_partitions, max_rounds,
+                                run_info=run_info)
 
 
-def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
+def _publish_info(run_info, info: dict):
+    """Populate the caller's per-run dict (authoritative) and mirror into
+    the diagnostic module global."""
+    if run_info is not None:
+        run_info.clear()
+        run_info.update(info)
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {k: v for k, v in info.items() if k != "joinback_index_ref"})
+
+
+def _hashjoin_components(sym, num_partitions: int, max_rounds: int,
+                         run_info: dict = None):
     """Fully-distributed strategy: no single structure is ever collected.
 
     Each round = one-hop neighbor-min propagation (join + groupby.min +
@@ -171,9 +188,9 @@ def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
             converged = True
             break
 
-    LAST_RUN_INFO.clear()
-    LAST_RUN_INFO.update({"strategy": "hash_join", "rounds": rounds_used,
-                          "converged": converged})
+    info = {"strategy": "hash_join", "rounds": rounds_used,
+            "converged": converged}
+    _publish_info(run_info, info)
     if not converged:
         # one more propagation pass to CHECK the fixed point: labels may
         # have converged exactly at the last allowed round
@@ -195,7 +212,8 @@ def _hashjoin_components(sym, num_partitions: int, max_rounds: int):
                 f"max_rounds={max_rounds} with {still} labels still "
                 f"changing — components would be silently split. Raise "
                 f"max_rounds (hop reach doubles per round).")
-        LAST_RUN_INFO["converged"] = True
+        info["converged"] = True
+        _publish_info(run_info, info)
 
     return _rename(labels, {"label": "cluster_id"})
 
@@ -263,7 +281,8 @@ def _collect_universe(edges):
     return ray.get(_merge_sort.remote(*refs))
 
 
-def _broadcast_components(edges, max_rounds: int, nodes=None):
+def _broadcast_components(edges, max_rounds: int, nodes=None,
+                          run_info: dict = None):
     """Broadcast-label propagation (see connected_components docstring).
 
     Works in integer index space: the node universe is collected once
@@ -428,9 +447,8 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
     if isinstance(roots, pa.ChunkedArray):
         roots = roots.combine_chunks()
 
-    LAST_RUN_INFO.clear()
-    LAST_RUN_INFO.update({"strategy": "broadcast", "rounds": 1,
-                          "converged": True, "n_nodes": n})
+    info = {"strategy": "broadcast", "rounds": 1,
+            "converged": True, "n_nodes": n}
     if unique_hashes:
         # the cluster join-back (pipelines/linkage._join_clusters_back)
         # needs exactly (sorted node-hash, verify-hash, root string) — we
@@ -444,8 +462,9 @@ def _broadcast_components(edges, max_rounds: int, nodes=None):
         roots_sorted = roots.take(order_pa)
         if isinstance(roots_sorted, pa.ChunkedArray):
             roots_sorted = roots_sorted.combine_chunks()
-        LAST_RUN_INFO["joinback_index_ref"] = ray.put(
+        info["joinback_index_ref"] = ray.put(
             (h_sorted, np.ascontiguousarray(h2[order]), roots_sorted))
+    _publish_info(run_info, info)
     tbl = pa.table({"node_id": nodes, "cluster_id": roots})
     import ray.data as rd
     return rd.from_arrow(tbl)

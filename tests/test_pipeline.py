@@ -325,3 +325,42 @@ class TestDedupExtract:
         # (agreement case) and did not disturb the pure-regex row
         assert out.loc[0, "area"] == "Gulshan"
         assert out.loc[1, "house_number"] == "12"
+
+
+class TestCollisionSafety:
+    """64-bit hash-collision handling in the broadcast join-back and the
+    dedup-extract distinct set (ADVICE round 2: a lo-hash collision must
+    never silently drop or mislabel a turn)."""
+
+    def test_lookup_dual_hash_duplicate_run(self):
+        import numpy as np
+        from ai_bangladesh_address_parser_ray.pipelines.linkage import (
+            _lookup_dual_hash,
+        )
+        # index lexsorted by (h, h2): positions 1-3 share lo-hash 10
+        h = np.array([5, 10, 10, 10, 42], dtype=np.uint64)
+        h2 = np.array([1, 1, 2, 9, 7], dtype=np.uint64)
+        nh = np.array([10, 10, 10, 10, 42, 99], dtype=np.uint64)
+        nh2 = np.array([9, 2, 1, 777, 7, 7], dtype=np.uint64)
+        pos, hit = _lookup_dual_hash(h, h2, nh, nh2, has_dup=True)
+        # every colliding entry is found at ITS position, not the leftmost
+        assert hit.tolist() == [True, True, True, False, True, False]
+        assert pos[:3].tolist() == [3, 2, 1]
+        # without the run scan, only the leftmost run entry would hit
+        _, hit_naive = _lookup_dual_hash(h, h2, nh, nh2, has_dup=False)
+        assert hit_naive.tolist() == [False, False, True, False, True,
+                                      False]
+
+    def test_distinct_keeps_both_halves_of_128bit_key(self):
+        """Two distinct texts colliding on text_h must BOTH survive the
+        distinct pass, or the (text_h, text_h2) inner join back would drop
+        one text's turns entirely."""
+        import pandas as pd
+        df = pd.DataFrame({
+            "text_h": [7, 7, 7, 3],
+            "text_h2": [100, 200, 100, 5],
+            "norm_text": ["a", "b", "a", "c"],
+        })
+        out = df.drop_duplicates(["text_h", "text_h2"])
+        assert len(out) == 3
+        assert set(out["norm_text"]) == {"a", "b", "c"}
