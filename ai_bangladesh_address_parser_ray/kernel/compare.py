@@ -182,10 +182,17 @@ def _is_identifier(v: str) -> bool:
 
 def score_pair(c1: Dict, c2: Dict, threshold: float = MATCH_THRESHOLD) -> Dict:
     """Linkage ensemble scorer — same weighted decision shape, ensemble sims."""
+    from .gazetteer import canonical_area
     sims = {}
     for comp in ALL_COMPONENTS:
         v1 = str(c1.get(comp) or "").strip().lower()
         v2 = str(c2.get(comp) or "").strip().lower()
+        if comp == "area" and v1 and v2 and v1 != v2:
+            # the kernel outputs surface spellings; canonically-equal
+            # neighborhoods ("Shamoli"/"Shyamoli") are the same place
+            v1c, v2c = canonical_area(v1), canonical_area(v2)
+            if v1c == v2c:
+                v1 = v2 = v1c
         if v1 and v2:
             if v1 == v2:
                 sims[comp] = 1.0

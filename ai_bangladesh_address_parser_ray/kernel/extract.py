@@ -76,11 +76,12 @@ def _build_prescreen():
     the dominant share of kernel work from the hottest stage."""
     import re as _re
     from .gazetteer import (AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION,
-                            DIVISIONS)
+                            DISTRICT_VARIANTS, DIVISIONS)
     from .geo import POST_OFFICES, UNIONS, UPAZILAS, VILLAGES
     from .normalizer import CORRECTIONS
 
     names = (set(AREAS) | set(AREA_VARIANTS) | set(DISTRICT_TO_DIVISION)
+             | {d.lower() for d in DISTRICT_VARIANTS}
              | {d.lower() for d in DIVISIONS} | set(UPAZILAS) | set(UNIONS)
              | set(VILLAGES) | set(POST_OFFICES)
              | {w for w, _ in CORRECTIONS})

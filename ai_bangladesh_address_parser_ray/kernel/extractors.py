@@ -17,7 +17,9 @@ from __future__ import annotations
 import re
 from typing import Optional, Tuple
 
-from .gazetteer import AREAS, DISTRICT_TO_DIVISION, DIVISIONS, area_display
+from .gazetteer import (AREAS, AREA_CORRECTIONS, AREA_VARIANTS,
+                        DISTRICT_TO_DIVISION, DISTRICT_VARIANTS, DIVISIONS,
+                        area_display)
 
 Hit = Optional[Tuple[str, float]]
 
@@ -32,13 +34,22 @@ _HOUSE_KW = r"(?:House|Home|Hous|Bari|Basa|Basha)"
 # `house_number_processor.py:131-137`) — multi-letter forms only: the
 # reference's single-letter `k/g` alternatives false-positive on initials
 _BANGLISH = r"(?:kha|gha|jha|chha|cho|cha|ka|kh|ja|ga|ch|gh)"
+# "House # 12" / "House No: 12" arrive as "House No 12" / "House No No 12"
+_HNO = r"(?:(?:No|Number|Num)\.?\s*[-–]?\s*){0,2}"
+_HNO1 = r"(?:(?:No|Number|Num)\.?\s*[-–]?\s*){1,2}"   # at least one No token
 _HOUSE_PATTERNS = [
-    (re.compile(rf"\b{_HOUSE_KW}\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)",
+    # requires a No/Number token so ranges/combos below still win for
+    # bare "House 8+9" / "House 60 Kha 7"
+    (re.compile(rf"\b{_HOUSE_KW}\s*{_HNO1}[-–]?\s*({_NUMTOK}[A-Za-z]?)",
                 re.I), 0.95),
-    (re.compile(rf"\bHolding\s*(?:No\.?\s*)?-?\s*({_NUMTOK})", re.I), 0.92),
-    (re.compile(rf"\b(?:Building|Bldg)\s*(?:No\.?\s*)?[\s-]*"
+    # letter-digit house ids after the keyword: "House No. B40", "House#F25"
+    (re.compile(rf"\b{_HOUSE_KW}\s*{_HNO}[-–]?\s*"
+                rf"([A-Za-z]{{1,2}}-?\d+(?:/[A-Za-z0-9]+)*)\b", re.I), 0.93),
+    (re.compile(rf"\bHolding\s*{_HNO}[-–]?\s*"
+                rf"([A-Za-z]{{0,2}}-?{_NUMTOK})", re.I), 0.92),
+    (re.compile(rf"\b(?:Building|Bldg)\s*{_HNO}[\s-]*"
                 rf"({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
-    (re.compile(rf"\bPlot\s*(?:No\.?\s*)?[\s-]*({_NUMTOK}[A-Za-z]?)\b",
+    (re.compile(rf"\bPlot\s*{_HNO}[\s-]*({_NUMTOK}[A-Za-z]?)\b",
                 re.I), 0.92),
     # ranges / multiples: "House 8+9", "House 98-99" (reference :173-175)
     (re.compile(rf"\b{_HOUSE_KW}\s*-?\s*(\d+\s*[+&]\s*\d+)\b", re.I), 0.90),
@@ -51,18 +62,19 @@ _HOUSE_PATTERNS = [
     (re.compile(rf"\b({_BANGLISH}\s*[-/]?\s*\d+(?:/[A-Za-z0-9]+)*)"
                 rf"(?=\s*[,(]|\s|$)", re.I), 0.90),
     # "H# 12" / "H# CB 11/12" arrive as "H No 12" / "H No CB 11/12"
-    (re.compile(rf"\bH\s*No\.?\s*-?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
-    (re.compile(r"\bH\s*No\.?\s*([A-Z]{1,3}\s*\d+(?:/[A-Za-z0-9]+)*)\b",
+    (re.compile(rf"\bH\s*{_HNO}[-–]?\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
+    (re.compile(rf"\bH\s*{_HNO}([A-Z]{{1,3}}\s*\d+(?:/[A-Za-z0-9]+)*)\b",
                 re.I), 0.92),
     (re.compile(rf"\bH\s*[@]\s*({_NUMTOK}[A-Za-z]?)\b", re.I), 0.88),
     (re.compile(rf"\bH\s*[-.]?\s*({_NUMTOK})\b", re.I), 0.85),
     # letter-valued: "House No. F/30", "House C/36", "House J57" (:194-205)
-    (re.compile(rf"\b{_HOUSE_KW}\s*(?:No\.?\s*)?-?\s*"
+    (re.compile(rf"\b{_HOUSE_KW}\s*{_HNO}[-–]?\s*"
                 rf"([A-Za-z]\s*/\s*\d+[A-Za-z]?)\b", re.I), 0.90),
     (re.compile(rf"\b{_HOUSE_KW}\s+([A-Za-z]-?\d+[A-Za-z]?)\b", re.I), 0.88),
-    # reversed "12 no house" / "3/B no basa" (:228-231)
-    (re.compile(rf"\b({_NUMTOK}[A-Za-z]?)\s+No\.?\s+"
-                rf"(?:House|Basa|Basha)\b", re.I), 0.90),
+    # reversed "12 no house" / "818 No. Building" / "21 Bhobon" (:228-231)
+    (re.compile(rf"\b({_NUMTOK}[A-Za-z]?)\s+(?:No|Number)\.?\s+"
+                rf"(?:House|Basa|Basha|Building|Bldg|Bhobon)\b", re.I), 0.90),
+    (re.compile(rf"\b({_NUMTOK})\s+(?:Bhobon|Bhaban)\b", re.I), 0.85),
     # mahol/mahal household unit (:246)
     (re.compile(r"\b(?:Mahol|Mahal)\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.85),
 ]
@@ -70,14 +82,27 @@ _HOUSE_PATTERNS = [
 # left-context guard rejects numbers owned by road/flat/block/… (the
 # reference applies its standalone bank only after keyword banks miss and
 # vetoes context words, house_number_processor.py:253-281)
+_HOUSE_COMPOUND = r"\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3}"
+# leading COMPOUND ("1152/C Greenhouse, House No 45" is labeled 1152/C in
+# the reference corpus): outranks the keyword bank — tried ABOVE it
+_HOUSE_LEAD_COMPOUND = re.compile(
+    rf"^\s*({_HOUSE_COMPOUND})\s*[, ]")
 _HOUSE_POSITIONAL = [
-    # leading positional: "105/A, Central Road ...", "10/1/D North Bashabo",
-    # "43-R/5 Indira Road", "25A Dilu Road" (multi-segment compounds)
+    # leading positional: "105/A, Central Road ...", "25A Dilu Road"
     (re.compile(r"^\s*(\d{1,4}[A-Za-z]?"
-                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s*[, ]"), 0.75),
+                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s+[A-Za-z]"), 0.75),
+    # segment-initial number before a word: ", 229 East Kazipara",
+    # ", 73 Dilkhusa", ", 25-27 Kazi Nazrul Islam Avenue" (the reference
+    # house bank's positional patterns, house_number_processor.py:760-860)
+    (re.compile(r"(?:^|,)\s*(\d{1,4}[A-Za-z]?"
+                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s+[A-Za-z]"), 0.74),
+    # segment-initial compound, even at segment end: ", 865/1"
+    (re.compile(rf"(?:^|,)\s*({_HOUSE_COMPOUND})\s*(?:[,(]|$)"), 0.73),
     # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
-    (re.compile(r"\b(\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3})"
-                r"\s*,"), 0.72),
+    (re.compile(rf"\b({_HOUSE_COMPOUND})\s*,"), 0.72),
+    # leading bare token before a comma ("134, South Kamalapur"): weakest —
+    # short letter-suffixed leaders ("7B,") are usually flat ids
+    (re.compile(r"^\s*(\d{1,4}[A-Za-z]?)\s*,"), 0.70),
 ]
 _STRUCT_BEFORE = re.compile(
     r"\b(?:Road|Rd|Lane|Line|Goli|Flat|Block|Floor|Level|Sector|Plot|Ward|"
@@ -98,8 +123,10 @@ _INSTITUTION_BEFORE = re.compile(
 
 
 def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
-    # guard: phone-shaped (>5 digits in one run) can never be a house
-    if len(re.sub(r"\D", "", val)) > 5:
+    # guard: phone-shaped (>5 digits in ONE run) can never be a house;
+    # compounds/ranges like "1803/2115" or "370-371" total more than 5
+    # digits but every run is short
+    if max((len(r) for r in re.findall(r"\d+", val)), default=0) > 5:
         return False
     # guard: a bare 4-digit token in the trailing third is postal-shaped
     # (reference guard `_is_postal_code`, house_number_processor.py:447)
@@ -114,6 +141,11 @@ def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
 
 def extract_house(text: str) -> Hit:
     n = len(text) or 1
+    # leading slash/dash compound outranks the keyword bank (reference
+    # corpus labels "1152/C Greenhouse, House# 45" as 1152/C)
+    m = _HOUSE_LEAD_COMPOUND.search(text)
+    if m and _house_guards_ok(text, m, m.group(1), n):
+        return m.group(1), 0.92
     for rx, conf in _HOUSE_PATTERNS:
         m = rx.search(text)
         if not m:
@@ -139,47 +171,103 @@ def extract_house(text: str) -> Hit:
 # Bangla road forms (`রোড/লেন/গলি`, reference road_processor.py) arrive
 # post-normalization as Road/Lane/Lane, so the Latin bank covers them; Goli
 # appears verbatim when written in Latin script ("Nasir Goli").
-_ROAD_PATTERNS = [
-    (re.compile(r"\b(?:Road|Rd)\s*No\.?\s*-?\s*"
-                r"(\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)", re.I), 0.95),
-    (re.compile(r"\b(?:Road|Rd)\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.90),
+#
+# Priority order reconstructed from the reference's labeled corpus: a NAMED
+# lane/avenue/road beats a NUMBERED road ("Nuria Madrasha Road, Road-4" is
+# labeled Nuria Madrasha Road), lanes beat roads ("Road 1, Lane 2" ->
+# Lane 2), avenues beat roads ("Road 12, Avenue 6" -> Avenue 6).
+_ROAD_NO = r"(?:(?:No|Number|Num)\.?\s*[-–]?\s*){0,2}"
+_LANE_NUM = re.compile(rf"\bLane\s*{_ROAD_NO}[-–]?\s*(\d+[A-Za-z]?)\b", re.I)
+_LANE_ORD = re.compile(r"\b(\d+(?:st|nd|rd|th)\s+(?:Lane|Len))\b", re.I)
+_AVE_NUM = re.compile(rf"\bAvenue\s*{_ROAD_NO}[-–]?\s*(\d+)\b", re.I)
+_ROAD_NUM = [
+    (re.compile(rf"\b(?:Road|Rd)\s*{_ROAD_NO}[-–]?\s*"
+                r"([A-Za-z]?\d+(?:/[A-Za-z0-9]+)?[A-Za-z]?)", re.I), 0.95),
     # "2 No Road" — the road-goli form the house guard rejects
     (re.compile(r"\b(\d+)\s*No\.?\s+(?:Road|Goli|Lane)\b", re.I), 0.90),
-    (re.compile(r"\bLane\s*(?:No\.?)?\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
     # "Line #16" arrives as "Line No 16"; "Line-16" (road_processor.py:149-150)
-    (re.compile(r"\bLine\s*(?:No\.?\s*)?-?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
-    # ordinal lane: "2nd Lane" (:152)
-    (re.compile(r"\b(\d+(?:st|nd|rd|th)\s+Lane)\b", re.I), 0.90),
-    # numbered avenue: "Avenue 2" / "Avenue-5" (:156-157)
-    (re.compile(r"\bAvenue\s*-?\s*(\d+)\b", re.I), 0.88),
-    # letter-prefixed road number: "Road-N05" (:200)
-    (re.compile(r"\b(?:Road|Rd)\s*-\s*([A-Za-z]\d+[A-Za-z]?)\b", re.I), 0.85),
-    (re.compile(r"\bR\s*[-.]\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
+    (re.compile(rf"\bLine\s*{_ROAD_NO}[-–]?\s*(\d+[A-Za-z]?)\b", re.I), 0.88),
+    # "R # 9" / "R-9" / "R. 9" arrive as "R No 9" / "R-9" / "R. 9"
+    (re.compile(rf"\bR\s*{_ROAD_NO}[-.]?\s*(\d+[A-Za-z]?)\b", re.I), 0.80),
 ]
-_NAMED_ROAD = re.compile(
-    r"\b(?:Road|Lane|Line|Avenue|Street|Goli|Sarani|Sarak)\b\s*$", re.I)
+_NAMED_TAIL = re.compile(
+    r"\b(?:Road|Rd|Lane|Line|Avenue|Street|Goli|Sarani|Sarak|Shoroni|"
+    r"Sharani|Sarani|Soroni)\b\.?\s*$", re.I)
+_SEG_PAREN = re.compile(r"\s*\([^)]*\)\s*$")
 _FEET_ROAD = re.compile(r"\b(\d+\s*feet\s*road)\b", re.I)
 # bare "60 Feet" names a road in Dhaka usage (reference road bank :184)
 _FEET_BARE = re.compile(r"\b(\d+\s*feet)\b", re.I)
 # mid-segment named road: "South Fuller Road Residential Area" -> capture
 # "South Fuller Road" (reference allows \s in the lookahead, :175-176)
 _NAMED_ROAD_MID = re.compile(
-    r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+){0,3}\s+(?:Road|Lane|Avenue))\b")
+    r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+){0,3}\s+(?:Road|Lane|Avenue|Rd))\b")
+_NAMED_GOLI_MID = re.compile(
+    r"\b([A-Za-z]+(?:\s+[A-Za-z]+){0,3}\s+Goli)\b", re.I)
+# a named-road segment must not be a different field's phrase, and
+# "2 No Road" is the numbered road-goli form, not a named road
+_NAMED_VETO = re.compile(
+    r"\b(?:House|Flat|Block|Floor|Sector|Plot|Holding|Post|feet|No|Number)"
+    r"\b", re.I)
+
+
+def _named_segments(text: str, kinds) -> Optional[str]:
+    """First comma-segment (trailing parenthetical stripped) ending in one
+    of the given keywords; the reference's named-road bank. A segment that
+    IS a gazetteer area name ("Elephant Road", "Green Road" — Dhaka
+    neighborhoods named after their road) is the AREA, not the road:
+    treating it as the road would overwrite the discriminating road number
+    ("Road 1" vs "Road 6") for every entity in that neighborhood."""
+    for seg in text.split(","):
+        seg = _SEG_PAREN.sub("", seg.strip()).strip()
+        m = _NAMED_TAIL.search(seg)
+        if (seg and m and len(seg) <= 48
+                and m.group(0).strip().rstrip(".").lower() in kinds
+                and not _NAMED_VETO.search(seg[:m.start()])):
+            low = seg.lower()
+            if low in AREAS or AREA_VARIANTS.get(low) in AREAS:
+                continue
+            return seg
+    return None
 
 
 def extract_road(text: str) -> Hit:
-    for rx, conf in _ROAD_PATTERNS:
+    # 1. lanes (ordinal, named, numbered)
+    m = _LANE_ORD.search(text)
+    if m:
+        return m.group(1), 0.90
+    named = _named_segments(text, {"lane", "len"})
+    if named:
+        return named, 0.90
+    m = _LANE_NUM.search(text)
+    if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+        return m.group(1), 0.88
+    # 2. avenues (numbered, named)
+    m = _AVE_NUM.search(text)
+    if m:
+        return m.group(1), 0.88
+    named = _named_segments(text, {"avenue"})
+    if named:
+        return named, 0.87
+    # 3. named road segment ("Nuria Madrasha Road", "Mirpur Rd")
+    named = _named_segments(text, {"road", "rd", "sarani", "sarak",
+                                   "shoroni", "sharani", "soroni"})
+    if named:
+        return named, 0.86
+    # 4. numbered road forms
+    for rx, conf in _ROAD_NUM:
         m = rx.search(text)
-        if m:
+        if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
             return m.group(1), conf
     m = _FEET_ROAD.search(text)
     if m:
         return m.group(1), 0.90
-    # named roads: a comma segment ending in Road/Lane/Line/Avenue/Goli/...
-    for seg in text.split(","):
-        seg = seg.strip()
-        if seg and _NAMED_ROAD.search(seg) and len(seg) <= 48:
-            return seg, 0.85
+    # 5. goli / street / mid-string named forms
+    named = _named_segments(text, {"goli", "street", "line"})
+    if named:
+        return named, 0.84
+    m = _NAMED_GOLI_MID.search(text)
+    if m:
+        return m.group(1), 0.82
     m = _NAMED_ROAD_MID.search(text)
     if m:
         return m.group(1), 0.80
@@ -189,45 +277,244 @@ def extract_road(text: str) -> Hit:
     return None
 
 
+_FLAT_STOP_ROAD = {"no", "number", "num"}
+
+
 # ----------------------------------------------------------------- area
+# Candidate collection + multi-factor scoring — a curated re-expression of
+# the reference's "intelligent area extraction" (area_processor.py:729-1118):
+# known-vocab scan with before-city boost, landmark-phrase penalty,
+# directional-prefix bonus, plus the contextual banks (Thana X, X Sadar,
+# X Residential Area, unknown-segment-before-city). The SURFACE spelling is
+# returned (the reference's contextual patterns capture raw text; its
+# labeled corpus uses surface spellings) — canonicalization for
+# blocking/enrichment happens via gazetteer.canonical_area.
+_AREA_ALL = sorted(set(AREAS) | set(AREA_VARIANTS)
+                   - {"cantt", "cant"},       # see _CANTT_RE: bare "cant"
+                   key=len, reverse=True)     # is the English word
 _AREA_RE = re.compile(
-    r"\b(" + "|".join(sorted(AREAS, key=len, reverse=True)) + r")\b", re.I
-)
+    r"(?<![A-Za-z])("
+    + "|".join(re.escape(a) for a in _AREA_ALL)
+    + r")(?![A-Za-z])", re.I)
+_LANDMARK_RE = re.compile(
+    r"\b(?:opposite|opp|near|nearby|beside|behind|adjacent|in front of|"
+    r"next to|close to|after|before)\b", re.I)
+_DIR_BEFORE_RE = re.compile(
+    r"\b(?:north|south|east|west|middle|uttar|dakshin|purbo|paschim|"
+    r"moddho|uttor|dokkhin)\s*$", re.I)
+_THANA_RE = re.compile(
+    r"\b(?:Thana|PS|P\.S\.)\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2})\b|"
+    r"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2}\s+Thana)\b")
+_RESA_RE = re.compile(
+    r"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2})\s+"
+    r"(?:Residential\s+Area|R/A)\b")
+_GRAM_RE = re.compile(
+    r"\b(?:Gram|Village)\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2})\b",
+    re.I)
+_OLD_DHAKA_RE = re.compile(r"\b((?:Old|Puran|Poran)\s+Dhaka)\b", re.I)
+_SEG_TRAIL_NUM = re.compile(r"[\s–-]*\d{1,4}\s*$")
+_UNKNOWN_SEG = re.compile(r"^[A-Za-z]+(?:\s+[A-Za-z]+){0,2}$")
+_UNKNOWN_VETO = re.compile(
+    r"\b(?:tower|building|bldg|bazar|bazaar|market|hospital|school|college|"
+    r"university|road|rd|lane|goli|avenue|street|store|mosque|masjid|"
+    r"mosjid|moshjid|complex|plaza|center|centre|hotel|house|home|villa|"
+    r"mansion|garden|park|gate|station|bank|office|hall|club|field|math|"
+    r"mor|more|point|side|quarter|quarters|tola|railgate|signal|"
+    r"bangladesh|sadar|thana|cantonment|cantt|cant|division|district|"
+    r"no|number|ward|union|post|floor|level|block|sector|flat|city)\b",
+    re.I)
+# the reference's main_area_names / common_areas get a ranking bonus
+# (area_processor.py:335+, intelligent_score Factor 1)
+_MAIN_AREAS = {
+    "uttara", "dhanmondi", "gulshan", "banani", "rampura", "khilgaon",
+    "mirpur", "mohammadpur", "tejgaon", "motijheel", "farmgate", "shyamoli",
+    "adabor", "mohakhali", "baridhara", "banasree", "meradia", "shantinagar",
+    "wari", "lalbagh", "azimpur", "bashabo", "jatrabari", "demra",
+    "hazaribagh", "badda", "khilkhet", "bashundhara", "nikunja", "agrabad",
+    "halishahar", "panchlaish", "katalgonj", "nasirabad", "chawkbazar",
+    "ambarkhana", "zindabazar", "sapura", "sonadanga", "fatullah",
+    "siddhirganj", "kochukhet", "sitakunda", "pahartali",
+}
+# tail after a candidate that still leaves it "in the last segment":
+# parentheticals, punctuation, digits, a trailing "Bangladesh"
+_TAIL_PAREN = re.compile(r"\([^)]*\)")
+_TAIL_END = re.compile(r"^[\s\d,.()/\-]*(?:bangladesh)?[\s\d,.()/\-]*$",
+                       re.I)
+
+
+def _area_title(s: str) -> str:
+    return " ".join(w.capitalize() for w in s.split())
+
+
+def _city_suffix_tokens():
+    # built lazily: _DISTRICT_DISPLAY is defined later in the module
+    toks = set(_DISTRICT_DISPLAY) | {d.lower() for d in DIVISIONS} \
+        | {"chittagong", "ctg", "chottogram"}
+    return sorted(toks, key=len, reverse=True)
+
+
+_CITY_AFTER_RE = None       # compiled on first use (needs _DISTRICT_DISPLAY)
+_CANTT_RE = None
+_CITY_SEG_RE = None
+
+
+def _ensure_city_res():
+    global _CITY_AFTER_RE, _CANTT_RE, _CITY_SEG_RE
+    if _CITY_AFTER_RE is not None:
+        return
+    city_alt = "|".join(re.escape(t) for t in _city_suffix_tokens())
+    # "Mirpur 1, Dhaka-1216": optional small numeric suffix, separators,
+    # then a district/division name — the reference's massive
+    # before-city-immediate boost (area_processor.py:786-796)
+    _CITY_AFTER_RE = re.compile(
+        rf"^(?:\s*-?\s*\d{{1,2}})?\s*[,.]?\s*\(?\s*(?:{city_alt})"
+        rf"(?![A-Za-z])", re.I)
+    _CANTT_RE = re.compile(
+        rf"\b((?:{city_alt})\s+Cant(?:t|onment)?)\b", re.I)
+    # a whole comma-segment that IS a city (optionally with postal suffix)
+    _CITY_SEG_RE = re.compile(rf"^(?:{city_alt})(?![A-Za-z])", re.I)
 
 
 def extract_area(text: str) -> Hit:
-    # LAST mention wins: the reference's intelligent scorer boosts
-    # candidates later in the string (position ratio / before-city boost,
-    # area_processor.py:965-1118) — "Shewrapara, Mirpur, Dhaka" is
-    # labeled Mirpur, the parent area closest to the city
-    last = None
+    _ensure_city_res()
+    n = len(text) or 1
+    cands = []          # (score, position, surface)
+
     for m in _AREA_RE.finditer(text):
-        last = m
-    if last:
-        return area_display(last.group(1).lower()), 0.90
-    return None
+        key = m.group(1).lower()
+        canon = AREA_VARIANTS.get(key, key)
+        # spacing/dash variants and the reference's typo-correction list
+        # render as the canonical display ("Aftabnagar" -> "Aftab Nagar",
+        # "gulisthan" -> "Gulshan", gazetteer.py:321-350); other spelling
+        # variants keep the surface form, like the reference's contextual
+        # capture (area_processor.py:900-960)
+        if canon != key and (key in AREA_CORRECTIONS
+                             or key.replace(" ", "").replace("-", "")
+                             == canon.replace(" ", "").replace("-", "")):
+            surface = area_display(canon)
+        else:
+            surface = _area_title(m.group(1))
+        s = 0.62
+        if canon in _MAIN_AREAS:
+            s += 0.07
+        seg_start = text.rfind(",", 0, m.start()) + 1
+        if _LANDMARK_RE.search(text[seg_start:m.start()]):
+            s -= 0.40
+        if _CITY_AFTER_RE.match(text[m.end():m.end() + 30]):
+            s += 0.35
+        tail = _TAIL_PAREN.sub("", text[m.end():])
+        if _TAIL_END.match(tail):
+            s += 0.10          # last-segment position (end_position boost)
+        if m.start() / n >= 0.5:
+            s += 0.05
+        if _DIR_BEFORE_RE.search(text[max(0, m.start() - 10):m.start()]):
+            s += 0.08
+        cands.append((s, m.start(), surface))
+
+    m = _CANTT_RE.search(text)
+    if m:
+        cands.append((0.88, m.start(1), _area_title(m.group(1))))
+    m = _OLD_DHAKA_RE.search(text)
+    if m:
+        cands.append((0.90, m.start(1), _area_title(m.group(1))))
+    m = _THANA_RE.search(text)
+    if m:
+        g = m.group(1) or m.group(2)
+        if not _UNKNOWN_VETO.search(re.sub(r"\bthana\b", "", g, flags=re.I)):
+            cands.append((0.66, m.start(), _area_title(g)))
+    m = _RESA_RE.search(text)
+    if m and not _UNKNOWN_VETO.search(m.group(1)):
+        cands.append((0.66, m.start(1), _area_title(m.group(1))))
+    m = _GRAM_RE.search(text)
+    if m and not _UNKNOWN_VETO.search(m.group(1)):
+        cands.append((0.64, m.start(1), _area_title(m.group(1))))
+    # "<District> Sadar" used as the locality name
+    for dm in _SADAR_RE.finditer(text):
+        cands.append((0.85, dm.start(1), _area_title(dm.group(1))))
+
+    # unknown comma-segment immediately before the city segment
+    segs = text.split(",")
+    off = 0
+    offsets = []
+    for seg in segs:
+        offsets.append(off)
+        off += len(seg) + 1
+    for i in range(1, len(segs)):
+        seg = segs[i].strip()
+        if not _CITY_SEG_RE.match(_SEG_TRAIL_NUM.sub("", seg).strip()):
+            continue
+        j = i - 1
+        while j >= 0 and not segs[j].strip():
+            j -= 1
+        if j < 0:
+            continue
+        prev = _SEG_TRAIL_NUM.sub("", segs[j].strip()).strip()
+        if (_UNKNOWN_SEG.match(prev) and 4 <= len(prev) <= 28
+                and not _UNKNOWN_VETO.search(prev)
+                and not _CITY_SEG_RE.match(prev)):
+            # below the known-vocab base: a known area anywhere outranks
+            # an unknown segment, even one right before the city
+            cands.append((0.58, offsets[j], _area_title(prev)))
+        break
+
+    if not cands:
+        return None
+    s, _pos, surface = max(cands, key=lambda c: (round(c[0], 3), c[1],
+                                                 len(c[2])))
+    if s < 0.45:
+        return None
+    return surface, max(0.66, min(0.95, s))
+
+
+_SADAR_RE = None            # compiled after the district section below
 
 
 # ------------------------------------------------------------- district
-_DISTRICTS = sorted(DISTRICT_TO_DIVISION, key=len, reverse=True)
-_DISTRICT_EXPLICIT = re.compile(r"\bDistrict\s*-?\s*([A-Za-z' ]+?)\b", re.I)
-_DISTRICT_RE = re.compile(
-    r"\b(" + "|".join(re.escape(d) for d in _DISTRICTS) + r")\b", re.I
-)
+# canonical display per surface key: DISTRICT_TO_DIVISION keys title-cased,
+# overridden by the reference's variant list (DISTRICT_VARIANTS: Cumilla ->
+# Comilla, Bogura -> Bogra, CoxsBazar, Bangla names, ...) — the reference
+# CANONICALIZES districts (district_processor.py:148-159 + english_cities
+# variants) even though it preserves area surface forms.
 _DISTRICT_DISPLAY = {d: d.title() for d in DISTRICT_TO_DIVISION}
-_DISTRICT_DISPLAY["cox's bazar"] = "Cox's Bazar"
+_DISTRICT_DISPLAY.update({
+    "cumilla": "Comilla", "bogura": "Bogra",
+    "cox's bazar": "CoxsBazar", "coxs bazar": "CoxsBazar",
+    "coxsbazar": "CoxsBazar", "jashore": "Jessore",
+})
+_DISTRICT_DISPLAY.update(DISTRICT_VARIANTS)
+_DISTRICTS = sorted(_DISTRICT_DISPLAY, key=len, reverse=True)
+_DISTRICT_EXPLICIT = re.compile(
+    r"\b(?:District|Dist|জেলা)\.?\s*[-–]?\s*([A-Za-zঀ-৿' ]+?)\b",
+    re.I)
+_DISTRICT_RE = re.compile(
+    r"(?<![A-Za-zঀ-৿])("
+    + "|".join(re.escape(d) for d in _DISTRICTS)
+    + r")(?![A-Za-zঀ-৿])", re.I
+)
+# "<District> Sadar" used as a locality/area name ("Faridpur Sadar",
+# "Khulna Sadar") — consumed by extract_area above
+_SADAR_RE = re.compile(
+    r"\b((?:" + "|".join(re.escape(d) for d in _DISTRICTS if d.isascii())
+    + r")\s+Sadar)\b", re.I)
 
 
 def extract_district(text: str) -> Hit:
     m = _DISTRICT_EXPLICIT.search(text)
-    if m and m.group(1).strip().lower() in DISTRICT_TO_DIVISION:
-        return _DISTRICT_DISPLAY[m.group(1).strip().lower()], 0.95
+    if m:
+        cand = m.group(1).strip().lower()
+        if cand in _DISTRICT_DISPLAY:
+            return _DISTRICT_DISPLAY[cand], 0.95
+        cand2 = m.group(1).strip()
+        if cand2 in _DISTRICT_DISPLAY:          # Bangla keys are case-exact
+            return _DISTRICT_DISPLAY[cand2], 0.95
     # last mention wins: districts come at the tail of Bangladeshi addresses
     last = None
     for m in _DISTRICT_RE.finditer(text):
         last = m
     if last:
-        return _DISTRICT_DISPLAY[last.group(1).lower()], 0.90
+        k = last.group(1).lower()
+        return _DISTRICT_DISPLAY.get(k, _DISTRICT_DISPLAY.get(
+            last.group(1), k.title())), 0.90
     return None
 
 
@@ -335,16 +622,25 @@ def extract_postal(text: str) -> Hit:
 
 
 # ----------------------------------------------------------------- flat
+# `#` arrives as " No " post-normalization, and "Flat No # 1/A" therefore as
+# "Flat No No 1/A": allow up to two No/Number tokens before the value
+# (reference flat bank's `#`/`No` forms, flat_number_processor.py).
+_NO_TOK = r"(?:(?:No|Number|Num|Nong)\.?\s*[-–]?\s*){0,2}"
+_FLAT_VAL = r"([A-Za-z0-9]+(?:[-/][A-Za-z0-9]+)*)"
 _FLAT_PATTERNS = [
-    (re.compile(r"\bFlat\s*(?:No\.?\s*)?-?\s*([A-Za-z0-9]+(?:-[A-Za-z0-9]+)?)\b", re.I), 0.90),
-    (re.compile(r"\bApartment\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
+    (re.compile(rf"\bFlat\s*{_NO_TOK}[-–]?\s*{_FLAT_VAL}", re.I), 0.90),
+    (re.compile(rf"\b(?:Apartment|Apt)\.?\s*{_NO_TOK}[-–]?\s*{_FLAT_VAL}",
+                re.I), 0.88),
+    (re.compile(rf"\b(?:Unit|Suite)\s*{_NO_TOK}[-–]?\s*{_FLAT_VAL}",
+                re.I), 0.85),
 ]
+_FLAT_STOP = {"no", "number", "num", "name", "nong"}
 
 
 def extract_flat(text: str) -> Hit:
     for rx, conf in _FLAT_PATTERNS:
         m = rx.search(text)
-        if m and m.group(1).lower() not in ("no", "number"):
+        if m and m.group(1).lower() not in _FLAT_STOP:
             return m.group(1), conf
     return None
 
@@ -353,33 +649,38 @@ def extract_flat(text: str) -> Hit:
 _FLOOR_PATTERNS = [
     # "Lift N" outranks an ordinal floor in the reference corpus labels
     # ("7th Floor (Lift-6)" -> floor 6; floor_number_processor.py lift bank)
-    (re.compile(r"\bLift\s*(?:No\.?\s*)?[-:]?\s*(\d+)\b", re.I), 0.92),
-    (re.compile(r"\b(\d+)\s*(?:st|nd|rd|th)\s*Floor\b", re.I), 0.90),
-    (re.compile(r"\bFloor\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
-    (re.compile(r"\bLevel\s*(?:No\.?\s*)?-?\s*(\d+)\b", re.I), 0.80),
+    (re.compile(rf"\bLift\s*{_NO_TOK}[-:]?\s*(\d+)\b", re.I), 0.92),
+    (re.compile(r"\b(\d+(?:/[A-Za-z0-9])?)\s*(?:st|nd|rd|th)?\s*Floor\b",
+                re.I), 0.90),
+    (re.compile(rf"\bFloor\s*{_NO_TOK}[-–]?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
+    (re.compile(rf"\bLevel\s*{_NO_TOK}[-–]?\s*(\d+)\b", re.I), 0.80),
+    # "3 tola(i)" Banglish floor ordinal (reference floor bank's tola forms)
+    (re.compile(r"\b(\d{1,2})\s*tola", re.I), 0.78),
 ]
 
 
 def extract_floor(text: str) -> Hit:
     for rx, conf in _FLOOR_PATTERNS:
         m = rx.search(text)
-        if m:
+        if m and m.group(1).lower() not in _FLAT_STOP:
             return m.group(1), conf
     return None
 
 
 # ---------------------------------------------------------------- block
 _BLOCK_PATTERNS = [
-    (re.compile(r"\bBlock\s*-?\s*([A-Za-z0-9]+)\b", re.I), 0.90),
-    (re.compile(r"\bSector\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.85),
+    (re.compile(rf"\bBlock\s*{_NO_TOK}[-–]?\s*([A-Za-z0-9]+)\b", re.I), 0.90),
+    (re.compile(rf"\b(?:Sector|Section|Sec)\s*{_NO_TOK}[-–]?\s*"
+                rf"(\d+[A-Za-z]?)\b", re.I), 0.85),
     (re.compile(r"\b([A-Za-z0-9]{1,3})\s+Block\b", re.I), 0.80),
 ]
+_BLOCK_STOP = _FLAT_STOP
 
 
 def extract_block(text: str) -> Hit:
     for rx, conf in _BLOCK_PATTERNS:
         m = rx.search(text)
-        if m:
+        if m and m.group(1).lower() not in _BLOCK_STOP:
             return m.group(1), conf
     return None
 

@@ -112,6 +112,58 @@ AREAS: Dict[str, tuple] = {
     "chandgaon":     ("Chattogram", "Chattogram", ["4212"]),
     "oxygen":        ("Chattogram", "Chattogram", ["4213"]),
     "shiddhirganj":  ("Narayanganj", "Dhaka", ["1430"]),
+    # round 3: reference common_areas / main_area_names / labeled-corpus
+    # vocabulary (area_processor.py:123-133,335+) — public neighborhood
+    # -> district/division/postcode facts
+    "meradia":       ("Dhaka", "Dhaka", ["1219"]),
+    "goran":         ("Dhaka", "Dhaka", ["1219"]),
+    "sabujbagh":     ("Dhaka", "Dhaka", ["1214"]),
+    "bakshibazar":   ("Dhaka", "Dhaka", ["1211"]),
+    "eskaton":       ("Dhaka", "Dhaka", ["1000"]),
+    "new eskaton":   ("Dhaka", "Dhaka", ["1000"]),
+    "kamalapur":     ("Dhaka", "Dhaka", ["1214"]),
+    "vashantek":     ("Dhaka", "Dhaka", ["1206"]),
+    "rajarbag":      ("Dhaka", "Dhaka", ["1217"]),
+    "kurmitola":     ("Dhaka", "Dhaka", ["1206"]),
+    "dakshinkhan":   ("Dhaka", "Dhaka", ["1230"]),
+    "uttarkhan":     ("Dhaka", "Dhaka", ["1230"]),
+    "ashkona":       ("Dhaka", "Dhaka", ["1230"]),
+    "abdullahpur":   ("Dhaka", "Dhaka", ["1230"]),
+    "kawla":         ("Dhaka", "Dhaka", ["1229"]),
+    "monipur":       ("Dhaka", "Dhaka", ["1216"]),
+    "pirerbag":      ("Dhaka", "Dhaka", ["1216"]),
+    "senpara":       ("Dhaka", "Dhaka", ["1216"]),
+    "kalshi":        ("Dhaka", "Dhaka", ["1216"]),
+    "nakhalpara":    ("Dhaka", "Dhaka", ["1215"]),
+    "jafrabad":      ("Dhaka", "Dhaka", ["1207"]),
+    "bosila":        ("Dhaka", "Dhaka", ["1207"]),
+    "rayerbazar":    ("Dhaka", "Dhaka", ["1209"]),
+    "shyampur":      ("Dhaka", "Dhaka", ["1204"]),
+    "jurain":        ("Dhaka", "Dhaka", ["1204"]),
+    "dania":         ("Dhaka", "Dhaka", ["1236"]),
+    "sutrapur":      ("Dhaka", "Dhaka", ["1100"]),
+    "bongshal":      ("Dhaka", "Dhaka", ["1100"]),
+    "narinda":       ("Dhaka", "Dhaka", ["1100"]),
+    "old dhaka":     ("Dhaka", "Dhaka", ["1100"]),
+    "tikatuli":      ("Dhaka", "Dhaka", ["1203"]),
+    "maniknagar":    ("Dhaka", "Dhaka", ["1203"]),
+    "matikata":      ("Dhaka", "Dhaka", ["1206"]),
+    "balughat":      ("Dhaka", "Dhaka", ["1206"]),
+    "kochukhet":     ("Dhaka", "Dhaka", ["1206"]),
+    "ramna":         ("Dhaka", "Dhaka", ["1217"]),
+    "patenga":       ("Chattogram", "Chattogram", ["4204"]),
+    "akbarshah":     ("Chattogram", "Chattogram", ["4207"]),
+    "kadamtali":     ("Chattogram", "Chattogram", ["4100"]),
+    "jamal khan":    ("Chattogram", "Chattogram", ["4000"]),
+    "katalgonj":     ("Chattogram", "Chattogram", ["4203"]),
+    "sholoshohor":   ("Chattogram", "Chattogram", ["4209"]),
+    "bayezid":       ("Chattogram", "Chattogram", ["4210"]),
+    "boyra":         ("Khulna", "Khulna", ["9000"]),
+    "kazla":         ("Rajshahi", "Rajshahi", ["6204"]),
+    "kandirpar":     ("Comilla", "Chattogram", ["3500"]),
+    "kotbari":       ("Comilla", "Chattogram", ["3503"]),
+    "saidpur":       ("Nilphamari", "Rangpur", ["5310"]),
+    "ashulia":       ("Dhaka", "Dhaka", ["1341"]),
 }
 
 # the complete 64-district -> division map (public administrative facts;
@@ -128,7 +180,8 @@ DISTRICT_TO_DIVISION: Dict[str, str] = {
     "rajbari": "Dhaka",
     # Chattogram division
     "chattogram": "Chattogram", "cox's bazar": "Chattogram",
-    "coxs bazar": "Chattogram", "comilla": "Chattogram",
+    "coxs bazar": "Chattogram", "coxsbazar": "Chattogram",
+    "comilla": "Chattogram",
     "cumilla": "Chattogram", "brahmanbaria": "Chattogram",
     "chandpur": "Chattogram", "lakshmipur": "Chattogram",
     "noakhali": "Chattogram", "feni": "Chattogram",
@@ -164,6 +217,61 @@ DIVISIONS = [
     "Dhaka", "Chattogram", "Sylhet", "Rajshahi",
     "Khulna", "Barisal", "Rangpur", "Mymensingh",
 ]
+
+# surface spelling -> canonical district display (the reference's
+# english_cities variant list + bangla_to_english_map,
+# district_processor.py:292-380: public spellings of the 64 districts).
+# Keys are post-normalization lowercase; Bangla keys appear verbatim
+# because the normalizer only transliterates the 8 division cities.
+DISTRICT_VARIANTS: Dict[str, str] = {
+    "dacca": "Dhaka", "dakha": "Dhaka", "dhakha": "Dhaka", "dhka": "Dhaka",
+    "chottogram": "Chattogram", "chattagong": "Chattogram",
+    "chattagram": "Chattogram", "chottrogram": "Chattogram",
+    "silhet": "Sylhet", "sylet": "Sylhet", "silet": "Sylhet",
+    "sylhe": "Sylhet",
+    "rajshai": "Rajshahi",
+    "barishal": "Barisal", "borishal": "Barisal",
+    "mymensing": "Mymensingh", "moymonsingh": "Mymensingh",
+    "moymonshingh": "Mymensingh",
+    "bogura": "Bogra",
+    "cumilla": "Comilla", "komilla": "Comilla",
+    "cox's bazar": "CoxsBazar", "coxs bazar": "CoxsBazar",
+    "coxsbazar": "CoxsBazar", "cox bazar": "CoxsBazar",
+    "coxs bazaar": "CoxsBazar", "cox bazaar": "CoxsBazar",
+    "jashore": "Jessore", "jessor": "Jessore",
+    "chapainawabganj": "Chapainawabganj", "nawabganj": "Chapainawabganj",
+    "jhalokathi": "Jhalokati",
+    "khagrachari": "Khagrachhari",
+    "laxmipur": "Lakshmipur",
+    "netrakona": "Netrokona",
+    # Bangla district names (public administrative vocabulary)
+    "কুমিল্লা": "Comilla", "কক্সবাজার": "CoxsBazar",
+    "নোয়াখালী": "Noakhali", "ফেনী": "Feni", "লক্ষ্মীপুর": "Lakshmipur",
+    "চাঁদপুর": "Chandpur", "ব্রাহ্মণবাড়িয়া": "Brahmanbaria",
+    "রাঙ্গামাটি": "Rangamati", "বান্দরবান": "Bandarban",
+    "খাগড়াছড়ি": "Khagrachhari",
+    "গাজীপুর": "Gazipur", "নারায়ণগঞ্জ": "Narayanganj",
+    "নরসিংদী": "Narsingdi", "মুন্সিগঞ্জ": "Munshiganj",
+    "মানিকগঞ্জ": "Manikganj", "টাঙ্গাইল": "Tangail",
+    "কিশোরগঞ্জ": "Kishoreganj", "ফরিদপুর": "Faridpur",
+    "গোপালগঞ্জ": "Gopalganj", "মাদারীপুর": "Madaripur",
+    "শরীয়তপুর": "Shariatpur", "রাজবাড়ী": "Rajbari",
+    "মৌলভীবাজার": "Moulvibazar", "হবিগঞ্জ": "Habiganj",
+    "সুনামগঞ্জ": "Sunamganj",
+    "নাটোর": "Natore", "নওগাঁ": "Naogaon", "পাবনা": "Pabna",
+    "সিরাজগঞ্জ": "Sirajganj", "বগুড়া": "Bogra", "জয়পুরহাট": "Joypurhat",
+    "চাঁপাইনবাবগঞ্জ": "Chapainawabganj",
+    "বাগেরহাট": "Bagerhat", "সাতক্ষীরা": "Satkhira", "যশোর": "Jessore",
+    "ঝিনাইদহ": "Jhenaidah", "মাগুরা": "Magura", "নড়াইল": "Narail",
+    "কুষ্টিয়া": "Kushtia", "চুয়াডাঙ্গা": "Chuadanga", "মেহেরপুর": "Meherpur",
+    "ভোলা": "Bhola", "পটুয়াখালী": "Patuakhali", "পিরোজপুর": "Pirojpur",
+    "বরগুনা": "Barguna", "ঝালকাঠি": "Jhalokati",
+    "দিনাজপুর": "Dinajpur", "ঠাকুরগাঁও": "Thakurgaon",
+    "পঞ্চগড়": "Panchagarh", "নীলফামারী": "Nilphamari",
+    "লালমনিরহাট": "Lalmonirhat", "কুড়িগ্রাম": "Kurigram",
+    "গাইবান্ধা": "Gaibandha",
+    "জামালপুর": "Jamalpur", "নেত্রকোণা": "Netrokona", "শেরপুর": "Sherpur",
+}
 
 # canonical display casing for areas
 _AREA_DISPLAY = {k: k.title() for k in AREAS}
@@ -274,6 +382,33 @@ def area_display(area_lower: str) -> str:
     return _AREA_DISPLAY.get(area_lower, area_lower.title())
 
 
+def canonical_area(value: str, gaz: Optional["Gazetteer"] = None) -> str:
+    """Surface area value -> canonical lowercase gazetteer key.
+
+    The extractor outputs the SURFACE form (reference parity: its contextual
+    patterns capture the raw text, area_processor.py:900-960); everything
+    internal — blocking keys, gazetteer enrichment, pair scoring — goes
+    through this so spelling variants of one neighborhood ("Shamoli",
+    "Shymoli", "Shyamoli") still collide/compare equal. Unknown values
+    canonicalize to themselves (lowercased)."""
+    t = (value or "").strip().lower()
+    areas = (gaz or _DEFAULT).areas
+    if t in areas:
+        return t
+    if t in AREA_VARIANTS:
+        return AREA_VARIANTS[t]
+    # directional prefixes don't change the neighborhood identity
+    for pre in ("north ", "south ", "east ", "west ", "middle ",
+                "uttar ", "dakshin ", "purbo ", "paschim ", "moddho "):
+        if t.startswith(pre):
+            rest = t[len(pre):]
+            if rest in areas:
+                return rest
+            if rest in AREA_VARIANTS:
+                return AREA_VARIANTS[rest]
+    return t
+
+
 def lookup_area(area: str) -> Optional[dict]:
     """area (any case) -> {district, division, postal_codes} or None."""
     return _DEFAULT.lookup_area(area)
@@ -315,7 +450,9 @@ def validate_and_enrich(evidence_map: Dict[str, list],
     postal = best("postal_code")
 
     if area:
-        rec = gaz.lookup_area(area)
+        # surface form -> canonical key (the extractor preserves the raw
+        # spelling; enrichment must still find the neighborhood)
+        rec = gaz.lookup_area(canonical_area(area, gaz))
         if rec:
             if district and district.lower() == rec["district"].lower():
                 evidence_map.setdefault("district", []).append(
@@ -350,16 +487,53 @@ def validate_and_enrich(evidence_map: Dict[str, list],
 
 # common misspelling variants, as in the reference's fuzzy matcher seed list
 # (`gazetteer.py:321-350`: gulisthan -> gulshan etc.)
-AREA_VARIANTS: Dict[str, str] = {
+# typo-corrections: the reference's fuzzy-matcher seed list
+# (gazetteer.py:321-350) — these OUTPUT the canonical display
+# (gulisthan -> Gulshan), unlike the surface variants below
+AREA_CORRECTIONS: Dict[str, str] = {
     "gulisthan": "gulshan",
     "gulistan": "gulshan",
-    "zigatola": "jigatola",
     "jigatala": "jigatola",
     "mirpoor": "mirpur",
     "dhanmondy": "dhanmondi",
     "uttora": "uttara",
     "bonani": "banani",
     "mohammedpur": "mohammadpur",
+}
+
+AREA_VARIANTS: Dict[str, str] = {
+    **AREA_CORRECTIONS,
+    "zigatola": "jigatola",
+    "jhigatola": "jigatola",
+    # surface spellings seen in the reference's labeled corpus; the area
+    # extractor outputs the SURFACE form (reference parity) and canonical
+    # keys are used internally for blocking/enrichment (canonical_area)
+    "santinagar": "shantinagar",
+    "shamoli": "shyamoli", "shymoli": "shyamoli", "shamoly": "shyamoli",
+    "shaymoli": "shyamoli", "shymoly": "shyamoli",
+    "basabo": "bashabo", "bashabo": "bashabo",
+    "shabujbag": "sabujbagh", "sobujbagh": "sabujbagh",
+    "sabujbag": "sabujbagh", "shabujbagh": "sabujbagh",
+    "kamlapur": "kamalapur",
+    "bhashantec": "vashantek", "bhashantek": "vashantek",
+    "vasantek": "vashantek",
+    "dakhinkhan": "dakshinkhan", "dhakshinkhan": "dakshinkhan",
+    "dakkhinkhan": "dakshinkhan", "dakshin khan": "dakshinkhan",
+    "rajarbagh": "rajarbag",
+    "malibag": "malibagh",
+    "mogbazar": "moghbazar",
+    "aftabnagar": "aftab nagar",
+    "amberkhana": "ambarkhana",
+    "puran dhaka": "old dhaka",
+    "cantt": "cantonment", "cant": "cantonment",
+    "khilgoan": "khilgaon",
+    "banashree": "banasree", "banosree": "banasree",
+    "bashundara": "bashundhara",
+    "baridara": "baridhara",
+    "katalganj": "katalgonj",
+    "kotowali": "kotwali",
+    "bashila": "bosila",
+    "bangshal": "bongshal",
 }
 
 

@@ -44,6 +44,7 @@ BN_KEYWORDS = [
     ("রোড", "Road"), ("বাড়ি", "House"), ("বাসা", "House"), ("বাড়ী", "House"),
     ("ফ্ল্যাট", "Flat"), ("তলা", "Floor"), ("ব্লক", "Block"),
     ("লেন", "Lane"), ("গলি", "Lane"), ("নং", "No"), ("নাম্বার", "No"),
+    ("নম্বর", "No"),
 ]
 
 # word -> canonical spelling, applied case-insensitively on word boundaries

@@ -39,7 +39,7 @@ from ..kernel.geo import UPAZILAS
 
 # bump when the generator's output changes for the same args: cached synth
 # dirs from an older generator are regenerated, never silently reused
-_GEN_VERSION = 6
+_GEN_VERSION = 7
 
 _BN_DIGITS = {"0": "০", "1": "১", "2": "২", "3": "৩", "4": "৪",
               "5": "৫", "6": "৬", "7": "৭", "8": "৮", "9": "৯"}

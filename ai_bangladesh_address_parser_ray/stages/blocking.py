@@ -40,7 +40,10 @@ def keys_for_row(row: dict) -> List[str]:
     variants already collide on ad after extraction canonicalizes them,
     F1 gate unchanged). hd fires for EVERY house+district record so an
     area-less record still meets its complete twins in one block."""
-    area = (row.get("area") or "").strip().lower()
+    from ..kernel.gazetteer import canonical_area
+    # the kernel outputs SURFACE area spellings (reference parity);
+    # blocking keys canonicalize so variants of one neighborhood collide
+    area = canonical_area(row.get("area") or "")
     district = (row.get("district") or "").strip().lower()
     postal = (row.get("postal_code") or "").strip()
     house = (row.get("house_number") or "").strip().lower()
