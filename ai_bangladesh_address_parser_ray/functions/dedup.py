@@ -82,15 +82,24 @@ _SIG_COL = "_sig"
 
 
 def _add_hash_bucket(key_col: str, num_buckets: int):
-    """Shuffle by crc32(key) % num_buckets instead of raw key: a bucket
+    """Shuffle by hash(key) & (num_buckets-1) instead of raw key: a bucket
     holds thousands of groups, amortizing per-group call overhead and
-    spreading Zipf-skewed keys uniformly."""
-    import zlib
+    spreading Zipf-skewed keys uniformly. Vectorized polars/xxhash over the
+    Arrow buffers (same kernel as stages/pairs.py add_bucket) — this runs
+    on the map side of EVERY minhash/simhash/embedding-LSH shuffle, so a
+    per-row Python crc32 loop here was the classic hot-path anti-pattern."""
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
 
     def _f(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        b = [zlib.crc32(k.encode("utf-8")) % num_buckets for k in keys]
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
+        import polars as pl_
+        import pyarrow.compute as pc_
+        h = pl_.from_arrow(batch[key_col]).hash(seed=11).to_arrow()
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        b = pc_.cast(pc_.bit_wise_and(pc_.cast(h, pa.uint64()),
+                                      pa.scalar(num_buckets - 1,
+                                                pa.uint64())), pa.int32())
+        return batch.append_column("bucket", b)
     return _f
 
 
@@ -522,7 +531,8 @@ def embedding_cosine_pairs(ds, tau: float = 0.95,
 
 
 def _embedding_pairs_lsh(tbl, tau: float, id_col: str, vec_col: str,
-                         bands: int, rows: int, cap: int):
+                         bands: int, rows: int, cap: int,
+                         window: int = 16):
     """Scale path: banded random-hyperplane LSH -> bucket groupby -> exact
     in-bucket cosine -> cross-band pair dedup. Streaming end to end."""
     from .similarity import _plane_matrix
@@ -575,20 +585,43 @@ def _embedding_pairs_lsh(tbl, tau: float, id_col: str, vec_col: str,
         ends = np.concatenate([change, [len(keys)]])
         a_all, b_all, o_all = [], [], []
         for s, e in zip(starts, ends):
-            g = e - s
-            if g < 2:
+            if e - s < 2:
                 continue
-            over = g > cap
-            g = min(g, cap)
-            gv = vecs[s:s + g]
-            sims = gv @ gv.T
-            iu, ju = np.triu_indices(g, k=1)
-            keep = sims[iu, ju] >= tau
-            if keep.any():
-                a_all.append(ids[s + iu[keep]])
-                b_all.append(ids[s + ju[keep]])
-                o_all.append(np.full(int(keep.sum()), int(over),
-                                     dtype=np.int32))
+            gids = ids[s:e]
+            gv = vecs[s:e]
+            # collapse bit-identical vectors FIRST (the mass-duplication
+            # hot-bucket case): their pairs are cosine 1.0 and emitted
+            # exactly, consuming no cap slots — same skew handling as
+            # _banded_bucket_pairs_fn, no silent truncation
+            first_idx, inv, order, gstarts = _collapse_rows(gv)
+            d = len(first_idx)
+            rep = gv[first_idx]
+            within = np.nonzero(np.diff(gstarts) > 1)[0]
+            over = d > cap
+            if not over:
+                sims = rep @ rep.T
+                iu, ju = np.triu_indices(d, k=1)
+                keepm = sims[iu, ju] >= tau
+                gi, gj = iu[keepm], ju[keepm]
+            else:
+                # over-cap: sorted-neighborhood window over the DISTINCT
+                # vector reps, flagged oversized=1 — observable recall
+                # degradation instead of silently dropping rows past cap
+                wl, wr = [], []
+                for a0 in range(d - 1):
+                    hi = min(a0 + 1 + window, d)
+                    wl.extend([a0] * (hi - a0 - 1))
+                    wr.extend(range(a0 + 1, hi))
+                gi = np.asarray(wl, dtype=np.int64)
+                gj = np.asarray(wr, dtype=np.int64)
+                keepm = (rep[gi] * rep[gj]).sum(axis=1) >= tau
+                gi, gj = gi[keepm], gj[keepm]
+            a, b, _w = _expand_pairs(gids, order, gstarts, gi, gj,
+                                     np.ones(len(gi)), within, 1.0, "all")
+            if len(a):
+                a_all.append(a)
+                b_all.append(b)
+                o_all.append(np.full(len(a), int(over), dtype=np.int32))
         if not a_all:
             return empty
         return pd.DataFrame({"a_id": np.concatenate(a_all),
@@ -602,7 +635,9 @@ def _embedding_pairs_lsh(tbl, tau: float, id_col: str, vec_col: str,
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = bucketed.groupby("bucket").map_groups(_bucket_pairs,
                                                   batch_format="pandas")
+    # the `oversized` flag SURVIVES (max across bands): at scale this path
+    # is the only one that engages, and an unobservable recall loss in an
+    # over-cap bucket is exactly what a 100-TB run must be able to see
     from ray.data.aggregate import Max
-    out = pairs.groupby(["a_id", "b_id"]).aggregate(
+    return pairs.groupby(["a_id", "b_id"]).aggregate(
         Max("oversized", alias_name="oversized"))
-    return out.drop_columns(["oversized"])

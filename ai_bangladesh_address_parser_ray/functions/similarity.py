@@ -17,7 +17,6 @@ comparability; ties broken by ascending neighbor id (deterministic).
 
 from __future__ import annotations
 
-import heapq
 from typing import Optional
 
 import numpy as np
@@ -51,33 +50,55 @@ def _vecs_from_col(col) -> np.ndarray:
                        for v in arr.to_pylist()])
 
 
+def _group_topk(qis, s, nids, k):
+    """Vectorized per-group top-k: returns the selected row indices, in
+    (group asc, score desc, neighbor asc) order, plus each row's 0-based
+    rank within its group. One lexsort — no Python per row."""
+    ordk = np.lexsort((nids, -s, qis))
+    qs_sorted = qis[ordk]
+    starts = np.concatenate(
+        [[0], np.nonzero(qs_sorted[1:] != qs_sorted[:-1])[0] + 1])
+    sizes = np.diff(np.concatenate([starts, [len(ordk)]]))
+    grp_rank = np.arange(len(ordk)) - np.repeat(starts, sizes)
+    keep = grp_rank < k
+    return ordk[keep], grp_rank[keep]
+
+
+_EMPTY_TOPK = pa.table({
+    "query_id": pa.array([], pa.int64()),
+    "neighbor_id": pa.array([], pa.int64()),
+    "score": pa.array([], pa.float64()),
+    "rank": pa.array([], pa.int64()),
+})
+
+
 def _merge_topk(partials, k: int, exclude_self: bool) -> pa.Table:
     """Driver-side merge of (query_id, neighbor_id, score) partial rows to
-    the global top-k per query: O(num_queries x k x num_batches) heap work
-    on tiny tables — the dataset side streamed."""
-    best: dict = {}
+    the global top-k per query. The partials are tiny (num_queries x k per
+    batch) because every producer emits LOCAL top-k — and the fold here is
+    one numpy lexsort, not a per-row Python heap (the per-tuple heapq
+    version made the driver the sink as candidate volume grew)."""
+    qs, ns, ss = [], [], []
     for b in partials.iter_batches(batch_format="pyarrow"):
-        for qid, nid, s in zip(b["query_id"].to_pylist(),
-                               b["neighbor_id"].to_pylist(),
-                               b["score"].to_pylist()):
-            if exclude_self and nid == qid:
-                continue
-            heapq.heappush(best.setdefault(qid, []), (s, -nid))
-            if len(best[qid]) > k:
-                heapq.heappop(best[qid])
-    qcol, ncol, scol, rcol = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
-        for r, (s, negn) in enumerate(ranked, 1):
-            qcol.append(qid)
-            ncol.append(-negn)
-            scol.append(round(s, 6))
-            rcol.append(r)
+        qs.append(b["query_id"].to_numpy())
+        ns.append(b["neighbor_id"].to_numpy())
+        ss.append(b["score"].to_numpy())
+    if not qs:
+        return _EMPTY_TOPK
+    q = np.concatenate(qs)
+    n = np.concatenate(ns)
+    s = np.concatenate(ss)
+    if exclude_self:
+        m = q != n
+        q, n, s = q[m], n[m], s[m]
+    if not len(q):
+        return _EMPTY_TOPK
+    sel, rank = _group_topk(q, s, n, k)
     return pa.table({
-        "query_id": pa.array(qcol, pa.int64()),
-        "neighbor_id": pa.array(ncol, pa.int64()),
-        "score": pa.array(scol, pa.float64()),
-        "rank": pa.array(rcol, pa.int64()),
+        "query_id": pa.array(q[sel], pa.int64()),
+        "neighbor_id": pa.array(n[sel], pa.int64()),
+        "score": pa.array(np.round(s[sel], 6), pa.float64()),
+        "rank": pa.array(rank + 1, pa.int64()),
     })
 
 
@@ -168,31 +189,56 @@ def knn_lsh(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
         for b in range(n_planes):
             probe.setdefault(int(s) ^ (1 << b), []).append(qi)
 
+    # flatten the probe map to sorted parallel arrays: candidate (row,
+    # query) pairs are then pure searchsorted + arithmetic, no dict probing
+    probe_sigs = np.array([sig for sig, qs_ in probe.items()
+                           for _ in qs_], dtype=np.uint64)
+    probe_qis = np.array([qi for qs_ in probe.values()
+                          for qi in qs_], dtype=np.int64)
+    po = np.argsort(probe_sigs, kind="stable")
+    probe_sigs, probe_qis = probe_sigs[po], probe_qis[po]
+
     q_ref = ray.put(q)
     qids_ref = ray.put(np.asarray(query_ids))
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put((probe_sigs, probe_qis))
     planes_ref = ray.put(planes)
 
     def _bucket_topk(batch: pa.Table) -> pa.Table:
         qn = _normalize(ray.get(q_ref))
         qids = np.asarray(ray.get(qids_ref))
-        probe_map = ray.get(probe_ref)
+        psigs, pqis = ray.get(probe_ref)
         pl = ray.get(planes_ref)
         vecs = _vecs_from_col(batch["embedding"])
         nids = np.asarray(batch["vec_id"].to_pylist())
         sigs = signature_bits(vecs, pl)
         nv = _normalize(vecs)
-        qcol, ncol, scol = [], [], []
-        for j, sig in enumerate(sigs):
-            for qi in probe_map.get(int(sig), ()):   # candidate queries
-                s = float(qn[qi] @ nv[j])
-                qcol.append(int(qids[qi]))
-                ncol.append(int(nids[j]))
-                scol.append(s)
+        # (row j, query qi) candidate pairs, fully vectorized
+        lo = np.searchsorted(psigs, sigs, "left")
+        hi = np.searchsorted(psigs, sigs, "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if not total:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        js = np.repeat(np.arange(len(sigs)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pidx = np.repeat(lo, counts) + (np.arange(total)
+                                        - np.repeat(cum, counts))
+        qis = pqis[pidx]
+        s = np.einsum("ij,ij->i", qn[qis], nv[js])
+        if exclude_self:
+            s[qids[qis] == nids[js]] = -2.0
+        # LOCAL top-k per query before anything leaves the task — the
+        # driver merge then folds (num_queries x k) rows per batch instead
+        # of every candidate score (VERDICT r2 #6)
+        sel, _rank = _group_topk(qis, s, nids[js], k)
         return pa.table({
-            "query_id": pa.array(qcol, pa.int64()),
-            "neighbor_id": pa.array(ncol, pa.int64()),
-            "score": pa.array(scol, pa.float64()),
+            "query_id": pa.array(qids[qis[sel]], pa.int64()),
+            "neighbor_id": pa.array(nids[js[sel]], pa.int64()),
+            "score": pa.array(s[sel], pa.float64()),
         })
 
     partials = ds.select_columns(["vec_id", "embedding"]).map_batches(

@@ -65,16 +65,102 @@ def keys_for_row(row: dict) -> List[str]:
     return keys
 
 
+def _norm_lower(col):
+    import pyarrow.compute as pc
+    return pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, "")))
+
+
 def _explode(batch: pa.Table) -> pa.Table:
-    rows = batch.select(_CARRY).to_pylist()
-    out_keys: List[str] = []
-    idx: List[int] = []
-    for i, row in enumerate(rows):
-        for k in keys_for_row(row):
-            out_keys.append(k)
-            idx.append(i)
-    taken = batch.select(_CARRY).take(pa.array(idx, pa.int64()))
-    return taken.append_column("block_key", pa.array(out_keys, pa.string()))
+    """Vectorized twin of per-row ``keys_for_row`` (the oracle contract —
+    tests assert per-row multiset equality). ad/pc/hd keys are Arrow
+    ``binary_join_element_wise`` concats; canonical_area + soundex run once
+    per DISTINCT area (dictionary-encode), not per row; only the gated
+    mh subset (incomplete records) walks rows in Python. This stage fans
+    out every extracted mention — at 10^12 turns a per-row Python loop
+    here was the widest hot path in the linkage pipeline."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ..kernel.gazetteer import canonical_area
+
+    n = batch.num_rows
+    if not n:
+        return batch.select(_CARRY).append_column(
+            "block_key", pa.array([], pa.string()))
+
+    area_l = _norm_lower(batch["area"])
+    if isinstance(area_l, pa.ChunkedArray):
+        area_l = area_l.combine_chunks()
+    district = _norm_lower(batch["district"])
+    house = _norm_lower(batch["house_number"])
+    postal = pc.utf8_trim_whitespace(pc.fill_null(batch["postal_code"], ""))
+
+    # canonical_area + soundex once per DISTINCT surface spelling
+    dict_area = pc.dictionary_encode(area_l)
+    uniq = dict_area.dictionary.to_pylist()
+    indices = dict_area.indices.to_numpy(zero_copy_only=False)
+    canon_u = [canonical_area(u) for u in uniq]
+    sx_u = [soundex(c) for c in canon_u]
+    area_can = pa.array([canon_u[i] for i in indices]
+                        if uniq else [""] * n, pa.string())
+    area_sx = pa.array([sx_u[i] for i in indices]
+                       if uniq else [""] * n, pa.string())
+
+    has_area = pc.greater(pc.utf8_length(area_can), 0).to_numpy(
+        zero_copy_only=False)
+    has_postal = pc.greater(pc.utf8_length(postal), 0).to_numpy(
+        zero_copy_only=False)
+    has_hd = np.logical_and(
+        pc.greater(pc.utf8_length(house), 0).to_numpy(zero_copy_only=False),
+        pc.greater(pc.utf8_length(district), 0).to_numpy(
+            zero_copy_only=False))
+
+    sep = pa.scalar("", pa.string())
+    ad_keys = pc.binary_join_element_wise(
+        pa.scalar("ad:"), area_can, pa.scalar("|"), district, sep)
+    sx_keys = pc.binary_join_element_wise(
+        pa.scalar("sx:"), area_sx, pa.scalar("|"), district, sep)
+    pc_keys = pc.binary_join_element_wise(pa.scalar("pc:"), postal, sep)
+    hd_keys = pc.binary_join_element_wise(
+        pa.scalar("hd:"), house, pa.scalar("|"), district, sep)
+
+    all_rows = np.arange(n, dtype=np.int64)
+    idx_parts: List[np.ndarray] = []
+    key_parts: List[pa.Array] = []
+    for mask, keys in ((has_area, ad_keys), (has_area, sx_keys),
+                       (has_postal, pc_keys), (has_hd, hd_keys)):
+        rows = all_rows[mask]
+        if len(rows):
+            idx_parts.append(rows)
+            key_parts.append(keys.take(pa.array(rows)))
+
+    # mh catch-all: only rows with a missing area or postal (the gated
+    # incomplete-record subset) need the per-row signature
+    mh_rows = all_rows[~np.logical_and(has_area, has_postal)]
+    if len(mh_rows):
+        sub = batch.select(COMPONENT_FIELDS).take(
+            pa.array(mh_rows)).to_pylist()
+        mh_idx: List[int] = []
+        mh_keys: List[str] = []
+        for r, row in zip(mh_rows, sub):
+            tokens = {str(row.get(f) or "").strip().lower()
+                      for f in COMPONENT_FIELDS} - {""}
+            if len(tokens) >= 2:
+                for k in minhash_band_keys(sorted(tokens)):
+                    mh_idx.append(r)
+                    mh_keys.append(k)
+        if mh_idx:
+            idx_parts.append(np.asarray(mh_idx, dtype=np.int64))
+            key_parts.append(pa.array(mh_keys, pa.string()))
+
+    if not idx_parts:
+        return batch.select(_CARRY).take(pa.array([], pa.int64())) \
+            .append_column("block_key", pa.array([], pa.string()))
+    idx = np.concatenate(idx_parts)
+    keys_arr = pa.concat_arrays(
+        [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+         for k in key_parts])
+    taken = batch.select(_CARRY).take(pa.array(idx))
+    return taken.append_column("block_key", keys_arr)
 
 
 def blocking_stage(ds, batch_size: int = 4096):

@@ -495,3 +495,59 @@ class TestMultimodal:
         out = frame_sample_stage(media, n_frames=4).to_pandas()
         assert len(out) == 500 * 4
         assert out.groupby("media_id").frame_idx.nunique().eq(4).all()
+
+
+class TestEmbeddingLshOvercap:
+    """VERDICT r2 #2: the sign-LSH scale path must never silently truncate
+    an over-cap bucket — identical vectors collapse first (full recall),
+    distinct over-cap reps degrade to a window with oversized=1."""
+
+    def _mk_ds(self, n_distinct, dup_per, dim=16, seed=3):
+        import ray.data
+        rng = np.random.RandomState(seed)
+        base = np.abs(rng.standard_normal(dim)) + 0.5   # one orthant ->
+        vecs, ids = [], []                              # one LSH bucket
+        for i in range(n_distinct):
+            v = base + 0.001 * i                        # distinct, cos ~1
+            v = v / np.linalg.norm(v)
+            for j in range(dup_per):
+                vecs.append(v)                          # exact duplicates
+                ids.append(i * dup_per + j)
+        df = pd.DataFrame({"vec_id": ids,
+                           "embedding": [list(v) for v in vecs]})
+        return ray.data.from_pandas(df)
+
+    def test_overcap_bucket_flags_and_keeps_duplicates(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            _embedding_pairs_lsh,
+        )
+        ds = self._mk_ds(n_distinct=12, dup_per=3)
+        tbl = ds.select_columns(["vec_id", "embedding"])
+        # cap=4 << 12 distinct reps -> every bucket is over-cap
+        got = _embedding_pairs_lsh(tbl, tau=0.9999, id_col="vec_id",
+                                   vec_col="embedding", bands=4, rows=4,
+                                   cap=4, window=2).to_pandas()
+        assert "oversized" in got.columns
+        assert (got.oversized == 1).all()
+        # exact duplicates collapsed BEFORE the cap: all C(3,2) pairs per
+        # distinct vector survive even though the bucket is over-cap
+        pairs = set(zip(got.a_id, got.b_id))
+        for i in range(12):
+            members = [i * 3, i * 3 + 1, i * 3 + 2]
+            for x in range(3):
+                for y in range(x + 1, 3):
+                    assert (members[x], members[y]) in pairs, (i, x, y)
+
+    def test_undercap_bucket_is_exact_and_unflagged(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            _embedding_pairs_lsh,
+        )
+        ds = self._mk_ds(n_distinct=6, dup_per=2)
+        tbl = ds.select_columns(["vec_id", "embedding"])
+        got = _embedding_pairs_lsh(tbl, tau=0.99, id_col="vec_id",
+                                   vec_col="embedding", bands=4, rows=4,
+                                   cap=512).to_pandas()
+        assert (got.oversized == 0).all()
+        # near-identical fixture: all-pairs expected
+        n = 12
+        assert len(set(zip(got.a_id, got.b_id))) == n * (n - 1) // 2

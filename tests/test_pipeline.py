@@ -364,3 +364,42 @@ class TestCollisionSafety:
         out = df.drop_duplicates(["text_h", "text_h2"])
         assert len(out) == 3
         assert set(out["norm_text"]) == {"a", "b", "c"}
+
+
+class TestBlockingVectorized:
+    """The vectorized _explode must emit exactly keys_for_row's keys per
+    row (keys ARE part of the linkage contract — VERDICT r2 #4)."""
+
+    def test_explode_elementwise_equals_oracle(self, ray_session,
+                                               synth_small):
+        import collections
+        import pyarrow as pa
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.blocking import (
+            _explode, keys_for_row,
+        )
+        from ai_bangladesh_address_parser_ray.stages.normalize import (
+            normalize_stage,
+        )
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            extract_stage,
+        )
+        ds = extract_stage(normalize_stage(ray.data.read_parquet(
+            os.path.join(synth_small, "transcripts"))))
+        batch = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow")),
+            promote_options="default").combine_chunks()
+        got = _explode(batch)
+        got_keys = collections.defaultdict(list)
+        node_ids = got["node_id"].to_pylist()
+        for nid, k in zip(node_ids, got["block_key"].to_pylist()):
+            got_keys[nid].append(k)
+        rows = batch.to_pylist()
+        n_with_keys = 0
+        for row in rows:
+            want = keys_for_row(row)
+            if want:
+                n_with_keys += 1
+            assert sorted(got_keys.get(row["node_id"], [])) == sorted(want), \
+                row["node_id"]
+        assert n_with_keys > 50  # the fixture must exercise every family
