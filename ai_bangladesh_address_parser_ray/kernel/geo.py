@@ -150,11 +150,30 @@ POST_OFFICES: Dict[str, tuple] = {
 
 
 class GeoHierarchy:
-    """Loaded lookup structures; build once per actor / oracle process."""
+    """Loaded lookup structures; build once per actor / oracle process.
+
+    With the default fixture, the curated postal-coded upazilas are
+    widened by the public ~495-upazila skeleton (``geo_data.py``): skeleton
+    entries carry district/division but NO postal code (codes are not
+    fabricated), so they serve the proactive scan and district/division
+    autofill and fall through to district-level postal inference. Names
+    that collide with gazetteer areas (Mirpur of Kushtia vs Mirpur, Dhaka)
+    or with a curated entry are skipped — metropolitan reading wins."""
 
     def __init__(self, upazilas=None, unions=None, villages=None,
                  post_offices=None):
-        self.upazilas = dict(UPAZILAS if upazilas is None else upazilas)
+        if upazilas is None:
+            from .gazetteer import AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION
+            from .geo_data import UPAZILA_SKELETON
+            merged = dict(UPAZILAS)
+            area_names = set(AREAS) | set(AREA_VARIANTS)
+            for name, district in UPAZILA_SKELETON.items():
+                if name in merged or name in area_names:
+                    continue
+                division = DISTRICT_TO_DIVISION.get(district.lower(), "")
+                merged[name] = (district, division, "")
+            upazilas = merged
+        self.upazilas = dict(upazilas)
         self.unions = dict(UNIONS if unions is None else unions)
         self.villages = dict(VILLAGES if villages is None else villages)
         self.post_offices = dict(
@@ -199,11 +218,15 @@ class GeoHierarchy:
                  "division": division, "postal_code": code})
 
         # compiled alternation for the proactive scan: longest-alternative
-        # first so the leftmost-longest containment wins deterministically
+        # first so the leftmost-longest match wins deterministically.
+        # Letter boundaries ("(?<![a-z]) … (?![a-z])") guard the widened
+        # ~500-name skeleton: short upazila names (bera, lama, tala) must
+        # not fire inside unrelated words in transcript text.
         names = sorted(set(self.upazilas) | set(self.unions),
                        key=lambda s: (-len(s), s))
         self._scan_re = re.compile(
-            "|".join(re.escape(n) for n in names)) if names else None
+            "(?<![a-z])(?:" + "|".join(re.escape(n) for n in names)
+            + ")(?![a-z])") if names else None
 
     # ------------------------------------------------------ prediction ----
 
@@ -335,6 +358,31 @@ class GeoHierarchy:
         code = self.upazilas.get(upz, (None, None, ""))[2]
         return {"kind": "union", "name": name, "district": district,
                 "division": division, "postal_code": code}
+
+
+def load_hierarchy(data: Dict) -> GeoHierarchy:
+    """Build a GeoHierarchy from an EXTERNAL hierarchy dict — the
+    reference's ``division_data_path`` extension surface
+    (``bangladesh_geo_offline.py:58-219`` loads the same four layers from
+    division JSONs). Shape::
+
+        {"upazilas":     {name: (district, division, postal_code)},
+         "unions":       {name: (upazila, district, division)},
+         "villages":     {name: (union, upazila, district, division)},
+         "post_offices": {name: (district, postal_code)}}
+
+    Layers omitted from ``data`` fall back to the module fixture; names
+    are lowercased; tuple/list values are accepted."""
+    def layer(key):
+        d = data.get(key)
+        if d is None:
+            return None
+        return {str(k).strip().lower(): tuple(v) for k, v in d.items()}
+
+    return GeoHierarchy(upazilas=layer("upazilas"),
+                        unions=layer("unions"),
+                        villages=layer("villages"),
+                        post_offices=layer("post_offices"))
 
 
 _DEFAULT_GEO: Optional[GeoHierarchy] = None

@@ -297,19 +297,30 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     # union-find is invariant to multi-edges, so no dedup shuffle here —
     # the groupby it would need (string (u,v) sort) measured more expensive
     # than carrying ~3x edges through the (streaming, map-only) UF rounds.
+    _skew_stats: dict = {}
+
     def compute_edges():
         entity_rows = extracted.map_batches(
             _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
         blocked = blocking_stage(entity_rows).materialize()
         return candidate_pairs_stage(
             blocked, cap=cfg.block_cap, window=cfg.block_window,
-            score_threshold=cfg.score_threshold)
+            score_threshold=cfg.score_threshold, stats=_skew_stats)
 
     # edge table is small (matched pairs only) and consumed iteratively by
     # union-find: pin it so rounds never re-run extraction/scoring
     edges = (ckpt.run("02_edges", cfg_fp, compute_edges)
              if cfg.checkpoint_dir else compute_edges().materialize())
     _phase_done("edges", edges.count())
+    # skew observability: how many edges came from over-cap blocks (window
+    # degradation) and how many Zipf-hot blocking keys were salted — at
+    # 100-TB scale these are the first numbers to check when recall or a
+    # straggler stage looks off (both 0 on an unskewed corpus)
+    metrics["edges"]["oversized_edges"] = int(
+        edges.sum("oversized") or 0) if "oversized" in edges.columns() else 0
+    metrics["edges"]["salted_hot_keys"] = int(
+        _skew_stats.get("salted_hot_keys", 0))
+    metrics["edges"]["salt_shards"] = int(_skew_stats.get("salt_shards", 0))
 
     # ---- phase 4: transitive closure (SHUFFLE 3..k).
     # run info (strategy, rounds, joinback index ref) flows through a

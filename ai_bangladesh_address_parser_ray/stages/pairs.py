@@ -157,7 +157,8 @@ def _pairs_from_group(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
 _SALT_SAMPLE_MOD = 8    # deterministic 1/8 row sample for hot-key counting
 
 
-def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
+def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int,
+                     stats: dict = None):
     """Zipf-head defense: one blocking key whose block outgrows a single
     task (the Dhaka problem) would make the whole stage wait on one CPU.
     A cheap count pass finds keys with > ``hot_block_rows`` rows; their
@@ -203,6 +204,9 @@ def _salt_hot_blocks(ds, hot_block_rows: int, salt_target: int):
                         b["count()"].to_pylist()):
             est = n * _SALT_SAMPLE_MOD
             hot[k] = int(-(-est // salt_target))    # ceil
+    if stats is not None:
+        stats["salted_hot_keys"] = len(hot)
+        stats["salt_shards"] = int(sum(hot.values()))
     if not hot:
         return ds
     import pandas as pd_
@@ -237,7 +241,8 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
                           num_buckets: int = 1024,
                           score_threshold: float = None,
                           hot_block_rows: int = 20_000,
-                          salt_target: int = 8_000):
+                          salt_target: int = 8_000,
+                          stats: dict = None):
     """blocked rows -> candidate-pair table (NOT deduped across keys).
 
     With ``score_threshold`` set, the ensemble scorer runs INSIDE the
@@ -248,7 +253,7 @@ def candidate_pairs_stage(ds, cap: int = 64, window: int = 8,
     scoring entirely (score 1.0 by construction). Blocks larger than
     ``hot_block_rows`` are salted into ~``salt_target``-row shards first
     (see :func:`_salt_hot_blocks`)."""
-    ds = _salt_hot_blocks(ds, hot_block_rows, salt_target)
+    ds = _salt_hot_blocks(ds, hot_block_rows, salt_target, stats=stats)
 
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
 

@@ -166,3 +166,59 @@ class TestKernelGeoStage:
         det = out["metadata"]["component_details"]["area"]
         assert det["source"] in ("spacy_ner", "gazetteer_validated",
                                  "inferred_from_area", "regex")
+
+
+class TestLoadHierarchyAndSkeleton:
+    def test_load_hierarchy_external_dict(self):
+        from ai_bangladesh_address_parser_ray.kernel.geo import (
+            load_hierarchy,
+        )
+        geo = load_hierarchy({
+            "upazilas": {"Newtown": ("Testdist", "Testdiv", "4242")},
+            "post_offices": {"NT GPO": ("Testdist", "4240")},
+        })
+        # external layer replaces the fixture layer
+        assert "savar" not in geo.upazilas
+        p = geo.predict_postal_code(area="newtown")
+        assert p["postal_code"] == "4242" and p["source"] == "upazila_match"
+        # omitted layers fall back to the fixture
+        assert "ashulia" in geo.unions
+        # district veto still applies
+        assert geo.predict_postal_code(
+            area="newtown", district="Otherdist") is None
+
+    def test_skeleton_widens_default_geo(self):
+        from ai_bangladesh_address_parser_ray.kernel.geo import (
+            GeoHierarchy,
+        )
+        g = GeoHierarchy()
+        assert len(g.upazilas) > 400          # curated + public skeleton
+        # skeleton entry: district/division autofill, NO fabricated postal
+        d, v, code = g.upazilas["sreemangal"]
+        assert (d, v, code) == ("Moulvibazar", "Sylhet", "")
+        hit = g.scan_address("meet me at sreemangal next week")
+        assert hit["district"] == "Moulvibazar"
+        # postal prediction falls through to district-level inference
+        p = g.predict_postal_code(area="sreemangal", district="moulvibazar")
+        assert p is None or p["source"] != "upazila_match"
+
+    def test_scan_respects_word_boundaries(self):
+        from ai_bangladesh_address_parser_ray.kernel.geo import (
+            GeoHierarchy,
+        )
+        g = GeoHierarchy()
+        # "tala" (Satkhira) must not fire inside "zigatala" / "panorama"
+        assert g.scan_address("what a panorama view") is None
+        assert g.scan_address("talat said hello") is None
+        assert g.scan_address("the office in tala is closed")["name"] == \
+            "tala"
+
+    def test_area_collisions_keep_metropolitan_reading(self):
+        from ai_bangladesh_address_parser_ray.kernel.geo import (
+            GeoHierarchy,
+        )
+        g = GeoHierarchy()
+        # Kushtia has a Mirpur upazila; the gazetteer area wins -> the
+        # skeleton must NOT have inserted it
+        assert "mirpur" not in g.upazilas
+        assert "mohammadpur" not in g.upazilas
