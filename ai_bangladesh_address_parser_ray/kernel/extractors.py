@@ -292,10 +292,41 @@ _FLAT_STOP_ROAD = {"no", "number", "num"}
 _AREA_ALL = sorted(set(AREAS) | set(AREA_VARIANTS)
                    - {"cantt", "cant"},       # see _CANTT_RE: bare "cant"
                    key=len, reverse=True)     # is the English word
+# reference regex form, kept as the ORACLE for the token-scan twin below
+# (tests assert span equality); the scan is what runs in the hot path —
+# a 170-way alternation costs ~0.1 ms/string in Python re, the token scan
+# is two dict probes per word
 _AREA_RE = re.compile(
     r"(?<![A-Za-z])("
     + "|".join(re.escape(a) for a in _AREA_ALL)
     + r")(?![A-Za-z])", re.I)
+_AREA_WORD1 = {k for k in _AREA_ALL if " " not in k}
+_AREA_WORD2 = {tuple(k.split(" ")) for k in _AREA_ALL if k.count(" ") == 1}
+_TOKEN_SPAN_RE = re.compile(r"[A-Za-z]+")
+
+
+def _area_matches(text: str):
+    """(start, end, surface) spans, element-equal to _AREA_RE.finditer:
+    token-aligned (the regex boundaries are letter lookarounds), two-word
+    names win over their one-word prefix at the same start (the regex
+    alternation is longest-first), non-overlapping."""
+    toks = [(m.start(), m.end(), m.group(0).lower())
+            for m in _TOKEN_SPAN_RE.finditer(text)]
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        s1, e1, w1 = toks[i]
+        if i + 1 < n:
+            s2, e2, w2 = toks[i + 1]
+            if (w1, w2) in _AREA_WORD2 and text[e1:s2] == " ":
+                out.append((s1, e2, text[s1:e2]))
+                i += 2
+                continue
+        if w1 in _AREA_WORD1:
+            out.append((s1, e1, text[s1:e1]))
+        i += 1
+    return out
 _LANDMARK_RE = re.compile(
     r"\b(?:opposite|opp|near|nearby|beside|behind|adjacent|in front of|"
     r"next to|close to|after|before)\b", re.I)
@@ -380,8 +411,8 @@ def extract_area(text: str) -> Hit:
     n = len(text) or 1
     cands = []          # (score, position, surface)
 
-    for m in _AREA_RE.finditer(text):
-        key = m.group(1).lower()
+    for m_start, m_end, m_text in _area_matches(text):
+        key = m_text.lower()
         canon = AREA_VARIANTS.get(key, key)
         # spacing/dash variants and the reference's typo-correction list
         # render as the canonical display ("Aftabnagar" -> "Aftab Nagar",
@@ -393,23 +424,23 @@ def extract_area(text: str) -> Hit:
                              == canon.replace(" ", "").replace("-", "")):
             surface = area_display(canon)
         else:
-            surface = _area_title(m.group(1))
+            surface = _area_title(m_text)
         s = 0.62
         if canon in _MAIN_AREAS:
             s += 0.07
-        seg_start = text.rfind(",", 0, m.start()) + 1
-        if _LANDMARK_RE.search(text[seg_start:m.start()]):
+        seg_start = text.rfind(",", 0, m_start) + 1
+        if _LANDMARK_RE.search(text[seg_start:m_start]):
             s -= 0.40
-        if _CITY_AFTER_RE.match(text[m.end():m.end() + 30]):
+        if _CITY_AFTER_RE.match(text[m_end:m_end + 30]):
             s += 0.35
-        tail = _TAIL_PAREN.sub("", text[m.end():])
+        tail = _TAIL_PAREN.sub("", text[m_end:])
         if _TAIL_END.match(tail):
             s += 0.10          # last-segment position (end_position boost)
-        if m.start() / n >= 0.5:
+        if m_start / n >= 0.5:
             s += 0.05
-        if _DIR_BEFORE_RE.search(text[max(0, m.start() - 10):m.start()]):
+        if _DIR_BEFORE_RE.search(text[max(0, m_start - 10):m_start]):
             s += 0.08
-        cands.append((s, m.start(), surface))
+        cands.append((s, m_start, surface))
 
     m = _CANTT_RE.search(text)
     if m:

@@ -132,54 +132,75 @@ def scaling():
     preset (480k turns) so parallel compute dominates fixed Ray latencies
     — efficiency at toy scale measures startup cost, not the pipeline."""
     # the N and 4N "cluster sizes" (sandbox stand-in: CPU budgets in fresh
-    # processes). GRAFT_SCALING_CPUS="2,8" measures an N->4N pair that does
-    # not saturate this box's single memory bus the way 32 procs do.
-    lo, hi = (int(x) for x in
-              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # processes). GRAFT_SCALING_CPUS accepts one pair ("8,32") or several
+    # (";"-separated, e.g. "2,8;4,16;8,32" — the three N->4N points that
+    # bracket this box's memory-bus ceiling curve). Each distinct CPU count
+    # runs ONCE and is reused across pairs.
+    spec = os.environ.get("GRAFT_SCALING_CPUS", "8,32")
+    pairs = [tuple(int(x) for x in p.split(","))
+             for p in spec.split(";") if p.strip()]
     preset = os.environ.get("GRAFT_SYNTH_PRESET", "sf-scaling-xxl")
-    # pre-generate the shared input once so neither timed run pays it
+    # pre-generate the shared input once so no timed run pays it
     os.environ["GRAFT_SYNTH_PRESET"] = preset
     from ai_bangladesh_address_parser_ray.sources.synthetic import synth_dir_for
     synth_dir_for(SF_DIR)
-    r_lo = _subprocess_run(lo, preset)
-    r_hi = _subprocess_run(hi, preset)
-    tput_lo = r_lo["linkage_turns_per_sec"]
-    tput_hi = r_hi["linkage_turns_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
-    # calibrate against THIS box's shared-memory ceiling: the same
-    # extraction kernel under plain multiprocessing (no Ray, no shuffles)
-    # at lo vs hi procs — on one box, hi procs share one memory bus, so
-    # even embarrassingly parallel work cannot reach hi/lo x. On a real
-    # N->4N NODE cluster each node brings its own bus and the ceiling
-    # does not apply; see tools/platform_ceiling.py.
-    ceiling = None
-    try:
-        ceil_out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "platform_ceiling.py"),
-             str(lo), str(hi)],
-            capture_output=True, text=True, timeout=180)
-        ceiling = json.loads(
-            ceil_out.stdout.strip().splitlines()[-1])["kernel_ceiling"]
-    except Exception:
-        pass
+    runs: dict = {}
+    for cpus in sorted({c for p in pairs for c in p}):
+        runs[cpus] = _subprocess_run(cpus, preset)
+
+    def _ceiling(lo, hi):
+        # calibrate against THIS box's shared-memory ceiling: the same
+        # extraction kernel under plain multiprocessing (no Ray, no
+        # shuffles) at lo vs hi procs — on one box, hi procs share one
+        # memory bus, so even embarrassingly parallel work cannot reach
+        # hi/lo x. On a real N->4N NODE cluster each node brings its own
+        # bus and the ceiling does not apply (tools/platform_ceiling.py).
+        try:
+            ceil_out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "platform_ceiling.py"),
+                 str(lo), str(hi)],
+                capture_output=True, text=True, timeout=180)
+            return json.loads(
+                ceil_out.stdout.strip().splitlines()[-1])["kernel_ceiling"]
+        except Exception:
+            return None
+
+    results = []
+    for lo, hi in pairs:
+        tput_lo = runs[lo]["linkage_turns_per_sec"]
+        tput_hi = runs[hi]["linkage_turns_per_sec"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        entry = {"cpus_lo": lo, "cpus_hi": hi,
+                 "throughput_lo": tput_lo, "throughput_hi": tput_hi,
+                 "wall_lo": runs[lo]["queries"]["linkage"],
+                 "wall_hi": runs[hi]["queries"]["linkage"],
+                 "efficiency": round(eff, 3)}
+        ceiling = _ceiling(lo, hi)
+        if ceiling:
+            entry["platform_ceiling_kernel"] = ceiling
+            entry["efficiency_vs_platform"] = round(eff / ceiling, 3)
+        results.append(entry)
+
+    head = results[-1]
     out = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": head["efficiency"],
         "unit": "ratio",
-        "queries": {f"linkage_cpus{lo}": r_lo["queries"]["linkage"],
-                    f"linkage_cpus{hi}": r_hi["queries"]["linkage"]},
+        "queries": {f"linkage_cpus{c}": r["queries"]["linkage"]
+                    for c, r in runs.items()},
         "sf": SF_DIR,
-        "num_cpus": hi,
-        "throughput_lo": tput_lo,
-        "throughput_hi": tput_hi,
-        "cpus_lo": lo,
-        "cpus_hi": hi,
+        "num_cpus": head["cpus_hi"],
+        "throughput_lo": head["throughput_lo"],
+        "throughput_hi": head["throughput_hi"],
+        "cpus_lo": head["cpus_lo"],
+        "cpus_hi": head["cpus_hi"],
+        "pairs": results,
     }
-    if ceiling:
-        out["platform_ceiling_kernel"] = ceiling
-        out["efficiency_vs_platform"] = round(eff / ceiling, 3)
+    if "platform_ceiling_kernel" in head:
+        out["platform_ceiling_kernel"] = head["platform_ceiling_kernel"]
+        out["efficiency_vs_platform"] = head["efficiency_vs_platform"]
     print(json.dumps(out))
 
 

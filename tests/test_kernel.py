@@ -376,3 +376,92 @@ class TestValidateFormat:
         top = suggest_areas("guls", limit=3)
         assert top[0]["area"] == "Gulshan"
         assert len(top) == 3
+
+
+class TestHotPathTwins:
+    """The token-scan twins must match their regex oracles element-wise
+    (the regexes stay as the spec; the scans are the hot-path form)."""
+
+    def test_area_matches_equals_regex(self):
+        from ai_bangladesh_address_parser_ray.kernel.extractors import (
+            _AREA_RE, _area_matches,
+        )
+        corpus = [
+            "House 12, Road 5, Mirpur, Dhaka",
+            "Flat A4, aftab nagar, Banasree Rampura, Dhaka-1219",
+            "meet me in old  dhaka tomorrow",       # double space: no match
+            "Gulshan-2, lalkhan bazar, Chattogram",
+            "zigatola; JIGATOLA. mirpur dohs",
+            "no areas here at all",
+            "xmirpur mirpurx mirpur",               # boundary cases
+            "green road, elephant road",
+            "",
+        ]
+        for text in corpus:
+            want = [(m.start(1), m.end(1), m.group(1))
+                    for m in _AREA_RE.finditer(text)]
+            got = _area_matches(text)
+            assert got == want, text
+
+    def test_prescreen_superset_of_evidence(self):
+        """Gate necessity: any text the kernel extracts SOMETHING from must
+        pass the gate; pure filler must not."""
+        from ai_bangladesh_address_parser_ray.kernel.extract import (
+            extract, prescreen,
+        )
+        from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+        evidence_texts = [
+            "House 12, Road 5, Mirpur, Dhaka",
+            "gulshann area please",              # fuzzy-matchable typo
+            "Dhaka-1216",
+            "ফ্ল্যাট নং এ ৫",
+            "some building on Nuria Madrasha Road",
+        ]
+        for t in evidence_texts:
+            assert prescreen(t), t
+        fillers = [
+            "ok sounds good, see you then",
+            "can you email the notes",
+            "we shipped the wrong wordy copy",   # 'rd' inside a word
+        ]
+        for t in fillers:
+            assert not prescreen(t), t
+            c = extract(t)["components"]
+            assert all(c[f] == "" for f in COMPONENT_FIELDS), t
+
+    def test_fuzzy_match_indexed_equals_full_scan(self):
+        """The prefix+signature-indexed fuzzy matcher must equal the
+        original full sorted scan on mutated tokens (same best, same
+        tie-break)."""
+        from difflib import SequenceMatcher
+        from ai_bangladesh_address_parser_ray.kernel.gazetteer import (
+            AREAS, AREA_VARIANTS, fuzzy_match_area,
+        )
+
+        def full_scan(token):
+            t = token.strip().lower()
+            if t in AREA_VARIANTS:
+                return AREA_VARIANTS[t]
+            if len(t) < 4 or t in AREAS:
+                return t if t in AREAS else None
+            tset = set(t)
+            best_name, best_ov = None, 0.0
+            for name in sorted(AREAS):
+                nset = set(name)
+                ov = len(tset & nset) / len(tset | nset)
+                ok = ov >= 0.75 and name[:4] == t[:4]
+                if not ok and ov > 0.85:
+                    ok = SequenceMatcher(None, t, name).ratio() >= 0.80
+                if ok and ov > best_ov:
+                    best_name, best_ov = name, ov
+            return best_name
+
+        toks = []
+        for a in sorted(AREAS)[::3]:
+            w = a.split()[0]
+            toks += [w, w + "x", w[:-1] if len(w) > 4 else w, "x" + w,
+                     w.replace("a", "e", 1), w[::-1]]
+        toks += ["thanks", "works", "meeting", "yesterday", "gulshann",
+                 "mirpurr", "dream", "sonargaon"]
+        for t in toks:
+            assert fuzzy_match_area(t) == full_scan(t), t
