@@ -154,7 +154,13 @@ def _lists_to_2d(col, dtype) -> np.ndarray:
                 len(arr), int(widths[0]))
     except AttributeError:
         pass
-    return np.asarray([np.asarray(v, dtype=dtype) for v in arr.to_pylist()])
+    rows = [np.asarray(v, dtype=dtype) for v in arr.to_pylist()]
+    try:
+        return np.vstack(rows) if rows else np.empty((0, 0), dtype=dtype)
+    except ValueError:          # ragged lists: object array of arrays
+        out = np.empty(len(rows), dtype=object)
+        out[:] = rows
+        return out
 
 
 def _pair_schema(tbl: pa.Table, id_col: str, extra: dict) -> pa.Table:

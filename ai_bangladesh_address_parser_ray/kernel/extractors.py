@@ -330,6 +330,7 @@ def _area_matches(text: str):
 _LANDMARK_RE = re.compile(
     r"\b(?:opposite|opp|near|nearby|beside|behind|adjacent|in front of|"
     r"next to|close to|after|before)\b", re.I)
+_AREA_NUM_AFTER = re.compile(r"\s*(?:Sector\s+)?-?\s?\d{1,2}(?!\d)")
 _DIR_BEFORE_RE = re.compile(
     r"\b(?:north|south|east|west|middle|uttar|dakshin|purbo|paschim|"
     r"moddho|uttor|dokkhin)\s*$", re.I)
@@ -440,11 +441,16 @@ def extract_area(text: str) -> Hit:
             s += 0.05
         if _DIR_BEFORE_RE.search(text[max(0, m_start - 10):m_start]):
             s += 0.08
+        if _AREA_NUM_AFTER.match(text[m_end:m_end + 12]):
+            s += 0.08          # "Mirpur 10" / "Uttara Sector 12" (Factor 5)
         cands.append((s, m_start, surface))
 
     m = _CANTT_RE.search(text)
     if m:
-        cands.append((0.88, m.start(1), _area_title(m.group(1))))
+        # "<City> Cantonment" is a thana-level locality; the labeled corpus
+        # prefers it over sub-localities even when those sit before the
+        # city token — outrank the known-vocab + before-city ceiling
+        cands.append((1.15, m.start(1), _area_title(m.group(1))))
     m = _OLD_DHAKA_RE.search(text)
     if m:
         cands.append((0.90, m.start(1), _area_title(m.group(1))))

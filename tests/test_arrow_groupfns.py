@@ -1,0 +1,130 @@
+"""Direct unit tests for the Arrow-native bucket group fns (VERDICT r2 #9).
+
+These exercise the per-bucket callables OUTSIDE Ray (no session needed):
+the contract is pa.Table in -> pa.Table out with a schema that is stable
+between empty and non-empty buckets, and the pandas adapter
+(`_pairs_from_bucket`) staying elementwise-equal to the Arrow path.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+from ai_bangladesh_address_parser_ray.functions.dedup import (
+    _SIG_COL, _banded_bucket_pairs_fn, _lists_to_2d, _pair_schema)
+from ai_bangladesh_address_parser_ray.stages.pairs import (
+    _bucket_arrays, _pairs_core, _pairs_from_bucket, PAIR_COLUMNS)
+
+
+def _mention_table(rows):
+    """rows: list of (block_key, node_id, road, house)"""
+    data = {
+        "block_key": [r[0] for r in rows],
+        "node_id": [r[1] for r in rows],
+    }
+    for f in COMPONENT_FIELDS:
+        data[f] = [""] * len(rows)
+    data["road"] = [r[2] for r in rows]
+    data["house_number"] = [r[3] for r in rows]
+    return pa.table(data)
+
+
+class TestPairsArrowPath:
+    def test_core_matches_pandas_adapter(self):
+        tbl = _mention_table([
+            ("ad:x", "c1:0", "Road 5", "12"),
+            ("ad:x", "c2:0", "Road 5", "12"),
+            ("ad:x", "c3:0", "Road 7", "9"),
+            ("ad:y", "c4:0", "", ""),
+        ])
+        out = _pairs_core(*_bucket_arrays(tbl), cap=64, window=8)
+        df = _pairs_from_bucket(tbl.to_pandas(), cap=64, window=8)
+        assert out is not None
+        assert sorted(out.keys()) == sorted(df.columns)
+        got = set(zip(out["u"], out["v"]))
+        want = set(zip(df["u"], df["v"]))
+        assert got == want and len(got) == 3       # C(3,2) within ad:x
+        assert list(df["pair_key"]) == list(out["pair_key"])
+
+    def test_duplicate_node_rows_collapse(self):
+        tbl = _mention_table([
+            ("ad:x", "c1:0", "Road 5", "12"),
+            ("ad:x", "c1:0", "Road 5", "12"),    # duplicate (key, node)
+            ("ad:x", "c2:0", "Road 5", "12"),
+        ])
+        out = _pairs_core(*_bucket_arrays(tbl), cap=64, window=8)
+        assert len(out["u"]) == 1                 # one pair, not three
+
+    def test_empty_and_single_row_return_none(self):
+        assert _pairs_core(
+            *_bucket_arrays(_mention_table([])), cap=8, window=2) is None
+        assert _pairs_core(
+            *_bucket_arrays(_mention_table([("ad:x", "c1:0", "", "")])),
+            cap=8, window=2) is None
+
+    def test_same_ext_flags_identical_extractions(self):
+        tbl = _mention_table([
+            ("ad:x", "c1:0", "Road 5", "12"),
+            ("ad:x", "c2:0", "Road 5", "12"),     # same components
+            ("ad:x", "c3:0", "Road 9", "77"),     # different
+        ])
+        out = _pairs_core(*_bucket_arrays(tbl), cap=64, window=8)
+        by_pair = dict(zip(zip(out["u"], out["v"]), out["same_ext"]))
+        assert by_pair[("c1:0", "c2:0")]
+        assert not by_pair[("c1:0", "c3:0")]
+
+
+class TestDedupArrowPath:
+    def _band_table(self, n_rows, n_sigs=4, ids=None, key="b0"):
+        ids = ids if ids is not None else list(range(n_rows))
+        sig = list(np.arange(n_sigs, dtype=np.uint64))
+        return pa.table({
+            "band_key": pa.array([key] * n_rows),
+            "doc_id": pa.array(ids, pa.int64()),
+            _SIG_COL: pa.array([sig] * n_rows, pa.list_(pa.uint64())),
+        })
+
+    def test_identical_sigs_pair_fully(self):
+        fn = _banded_bucket_pairs_fn("doc_id", est_threshold=0.5, cap=512,
+                                     window=16, expand="all")
+        out = fn(self._band_table(3))
+        assert isinstance(out, pa.Table)
+        assert out.num_rows == 3                   # C(3,2)
+        assert out["est_jaccard"].to_pylist() == [1.0, 1.0, 1.0]
+        assert out["oversized"].to_pylist() == [0, 0, 0]
+
+    def test_empty_bucket_schema_stable(self):
+        fn = _banded_bucket_pairs_fn("doc_id", est_threshold=0.5, cap=512,
+                                     window=16, expand="all")
+        nonempty = fn(self._band_table(3))
+        empty = fn(self._band_table(1))
+        assert empty.num_rows == 0
+        assert empty.schema.equals(nonempty.schema)
+
+    def test_pair_schema_mirrors_id_type(self):
+        t_int = self._band_table(2)
+        t_str = pa.table({
+            "band_key": pa.array(["b0", "b0"]),
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            _SIG_COL: pa.array([[np.uint64(1)]] * 2, pa.list_(pa.uint64())),
+        })
+        s_int = _pair_schema(t_int, "doc_id", {"x": pa.float64()})
+        s_str = _pair_schema(t_str, "doc_id", {"x": pa.float64()})
+        assert s_int.schema.field("a_id").type == pa.int64()
+        assert s_str.schema.field("a_id").type == pa.string()
+
+    def test_lists_to_2d_zero_copy_shape(self):
+        arr = pa.array([[1, 2, 3], [4, 5, 6]], pa.list_(pa.uint64()))
+        m = _lists_to_2d(arr, np.uint64)
+        assert m.shape == (2, 3) and m.dtype == np.uint64
+        assert m[1, 2] == 6
+        # sliced (non-zero offset) chunked input still correct
+        chunked = pa.chunked_array([arr]).slice(1, 1)
+        m2 = _lists_to_2d(chunked, np.uint64)
+        assert m2.shape == (1, 3) and m2[0, 0] == 4
+
+    def test_ragged_lists_fall_back(self):
+        arr = pa.array([[1, 2], [3]], pa.list_(pa.uint64()))
+        m = _lists_to_2d(arr, np.uint64)
+        assert len(m) == 2                          # object fallback path

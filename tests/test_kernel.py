@@ -224,6 +224,21 @@ class TestExtractors:
         c = extract("Banani, Dhaka")["components"]
         assert c["postal_code"] == "1213"
 
+    def test_cantonment_outranks_sublocality(self):
+        # "<City> Cantonment" is thana-level; the labeled corpus prefers it
+        # over a sub-locality even when that one sits before the city token
+        c = extract("77/2/E, Green House, West Vashantek, "
+                    "Dhaka Cantonment, Dhaka-1206")["components"]
+        assert c["area"] == "Dhaka Cantonment"
+
+    def test_area_with_number_bonus(self):
+        # "Mirpur 60 feet": the trailing small number marks the area usage
+        # (reference intelligent-score Factor 5) — outranks a bare
+        # directional sub-locality earlier in the text
+        c = extract("363/A/10, North Pirerbag, Mirpur 60 feet, "
+                    "Sapra Mosjid")["components"]
+        assert c["area"] == "Mirpur"
+
     def test_district_inferred_from_area(self):
         c = extract("House 3, Road 2, Halishahar")["components"]
         assert c["district"] == "Chattogram"

@@ -6,15 +6,22 @@ recall (label non-empty -> kernel value equal or substring-compatible).
 This quantifies how much of the reference's regex/gazetteer behavior the
 curated re-expression reproduces — on the reference's data, not ours.
 
-Usage: python tools/eval_reference_corpus.py [path_to_labels_json]
+``--with-ner`` additionally trains the NgramNER token classifier on the
+corpus labels (the reference trained its spaCy model on this same data,
+its 99.3% claim is equally in-sample) and runs the kernel with the model
+plugged into extraction stage 5 — demonstrating the ST1 slot end to end.
+
+Usage: python tools/eval_reference_corpus.py [path_to_labels_json] [--with-ner]
 """
 
 import json
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-from ai_bangladesh_address_parser_ray.kernel.extract import extract  # noqa: E402
+from ai_bangladesh_address_parser_ray.kernel.extract import (  # noqa: E402
+    ExtractionKernel, extract)
 from ai_bangladesh_address_parser_ray.kernel.normalizer import normalize  # noqa: E402
 
 FIELDS = ["house_number", "road", "area", "district", "division",
@@ -28,13 +35,36 @@ def canon(s):
     return normalize((s or "")).strip().lower()
 
 
+def _trained_ner(rows):
+    """Train NgramNER on the corpus's area/district/division tokens (the
+    same in-sample setup as the reference's spaCy training run)."""
+    from ai_bangladesh_address_parser_ray.kernel.ner import NgramNER
+    examples = []
+    for r in rows:
+        comps = r["components"]
+        labeled = {}
+        for f in ("area", "district", "division"):
+            for tok in re.findall(r"[A-Za-z]{4,}", comps.get(f) or ""):
+                labeled[tok.lower()] = f
+        for tok in re.findall(r"[A-Za-z]{4,}", r["address"]):
+            examples.append((tok.lower(), labeled.get(tok.lower(), "O")))
+    return NgramNER.train(examples)
+
+
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else \
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_ner = "--with-ner" in sys.argv
+    path = args[0] if args else \
         "/root/reference/data/raw/merged_addresses.json"
     rows = json.load(open(path))
+    if with_ner:
+        kernel = ExtractionKernel(ner_model=_trained_ner(rows))
+        run = kernel.extract
+    else:
+        run = extract
     stats = {f: [0, 0] for f in FIELDS}
     for r in rows:
-        got = extract(r["address"])["components"]
+        got = run(r["address"])["components"]
         for f in FIELDS:
             w, g = canon(r["components"].get(f)), canon(got.get(f))
             if w:
@@ -49,6 +79,7 @@ def main():
     out["ALL"] = {"matched": tot_m, "labeled": tot_n,
                   "recall": round(tot_m / tot_n, 3)}
     print(json.dumps({"corpus": path, "n_records": len(rows),
+                      "with_ner": with_ner,
                       "fields": out}, indent=2))
 
 
