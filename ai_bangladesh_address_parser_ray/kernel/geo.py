@@ -149,33 +149,111 @@ POST_OFFICES: Dict[str, tuple] = {
 }
 
 
+_BUNDLED_ASSET = "unset"                   # cached parse of the data file
+_FULL_LAYERS = None                        # cached (upazilas, unions, villages)
+_PLAIN_NAME = re.compile(r"[a-z]+(?: [a-z]+){0,3}$")
+
+
+def _bundled_asset():
+    """Parse ``data/bd_geo_hierarchy.json`` once per process (built by
+    ``tools/build_geo_asset.py`` from the public division-JSON open-data
+    format; 577 upazilas / 2,505 unions / 2,287 villages — the same totals
+    the reference loads from its division files)."""
+    global _BUNDLED_ASSET
+    if _BUNDLED_ASSET == "unset":
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "bd_geo_hierarchy.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                _BUNDLED_ASSET = json.load(fh)
+        except (OSError, ValueError):
+            _BUNDLED_ASSET = None
+    return _BUNDLED_ASSET
+
+
+def full_layers():
+    """(upazilas, unions, villages) — curated fixture, the ~495-name
+    skeleton, and the bundled full-scale asset merged under deterministic
+    guards; cached per process. Guard rules (metropolitan reading wins):
+
+    - a name colliding with a gazetteer area (Mirpur of Kushtia vs
+      Mirpur, Dhaka) is skipped — area evidence outranks geo scan;
+    - curated entries keep their district reading; an asset postal code
+      fills a missing one only when both agree on the district;
+    - only plain letter names (1-4 words, >=4 chars) participate — the
+      raw union data mislabels city areas like "sector 4" as unions;
+    - first-in-sorted-order wins on residual collisions (replay-stable).
+    """
+    global _FULL_LAYERS
+    if _FULL_LAYERS is not None:
+        return _FULL_LAYERS
+    from .gazetteer import AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION
+    from .geo_data import UPAZILA_SKELETON
+
+    area_names = set(AREAS) | set(AREA_VARIANTS)
+
+    def ok(name: str) -> bool:
+        return (len(name) >= 4 and name not in area_names
+                and _PLAIN_NAME.match(name) is not None)
+
+    upazilas = dict(UPAZILAS)
+    for name, district in sorted(UPAZILA_SKELETON.items()):
+        if name not in upazilas and ok(name):
+            upazilas[name] = (
+                district, DISTRICT_TO_DIVISION.get(district.lower(), ""), "")
+    asset = _bundled_asset() or {}
+    for name, val in sorted(asset.get("upazilas", {}).items()):
+        district, division, code = (list(val) + ["", "", ""])[:3]
+        if not ok(name):
+            continue
+        if name in upazilas:
+            d0, dv0, c0 = upazilas[name]
+            if not c0 and code and d0.lower() == district.lower():
+                upazilas[name] = (d0, dv0, code)
+            continue
+        upazilas[name] = (district, division or DISTRICT_TO_DIVISION.get(
+            district.lower(), ""), code)
+
+    unions = dict(UNIONS)
+    for name, val in sorted(asset.get("unions", {}).items()):
+        if name in unions or name in upazilas or not ok(name):
+            continue
+        upz, district, division = (list(val) + ["", "", ""])[:3]
+        unions[name] = (upz.lower(), district, division)
+
+    villages = dict(VILLAGES)
+    for name, val in sorted(asset.get("villages", {}).items()):
+        if name in villages or name in unions or name in upazilas \
+                or not ok(name):
+            continue
+        union, upz, district, division = (list(val) + [""] * 4)[:4]
+        villages[name] = (union.lower(), upz.lower(), district, division)
+
+    _FULL_LAYERS = (upazilas, unions, villages)
+    return _FULL_LAYERS
+
+
 class GeoHierarchy:
     """Loaded lookup structures; build once per actor / oracle process.
 
-    With the default fixture, the curated postal-coded upazilas are
-    widened by the public ~495-upazila skeleton (``geo_data.py``): skeleton
-    entries carry district/division but NO postal code (codes are not
-    fabricated), so they serve the proactive scan and district/division
-    autofill and fall through to district-level postal inference. Names
-    that collide with gazetteer areas (Mirpur of Kushtia vs Mirpur, Dhaka)
-    or with a curated entry are skipped — metropolitan reading wins."""
+    The default fixture is :func:`full_layers`: curated postal-coded
+    upazilas widened by the public skeleton (district/division, no
+    fabricated codes) and the bundled full-scale hierarchy asset
+    (577 upazilas / 2,505 unions / 2,287 villages with real postal
+    codes) under the guards documented there."""
 
     def __init__(self, upazilas=None, unions=None, villages=None,
                  post_offices=None):
-        if upazilas is None:
-            from .gazetteer import AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION
-            from .geo_data import UPAZILA_SKELETON
-            merged = dict(UPAZILAS)
-            area_names = set(AREAS) | set(AREA_VARIANTS)
-            for name, district in UPAZILA_SKELETON.items():
-                if name in merged or name in area_names:
-                    continue
-                division = DISTRICT_TO_DIVISION.get(district.lower(), "")
-                merged[name] = (district, division, "")
-            upazilas = merged
+        if upazilas is None or unions is None or villages is None:
+            fu, fn, fv = full_layers()
+            upazilas = fu if upazilas is None else upazilas
+            unions = fn if unions is None else unions
+            villages = fv if villages is None else villages
         self.upazilas = dict(upazilas)
-        self.unions = dict(UNIONS if unions is None else unions)
-        self.villages = dict(VILLAGES if villages is None else villages)
+        self.unions = dict(unions)
+        self.villages = dict(villages)
         self.post_offices = dict(
             POST_OFFICES if post_offices is None else post_offices)
 
@@ -217,16 +295,18 @@ class GeoHierarchy:
                 {"type": "union", "upazila": upz, "district": district,
                  "division": division, "postal_code": code})
 
-        # compiled alternation for the proactive scan: longest-alternative
-        # first so the leftmost-longest match wins deterministically.
-        # Letter boundaries ("(?<![a-z]) … (?![a-z])") guard the widened
-        # ~500-name skeleton: short upazila names (bera, lama, tala) must
-        # not fire inside unrelated words in transcript text.
-        names = sorted(set(self.upazilas) | set(self.unions),
-                       key=lambda s: (-len(s), s))
-        self._scan_re = re.compile(
-            "(?<![a-z])(?:" + "|".join(re.escape(n) for n in names)
-            + ")(?![a-z])") if names else None
+        # proactive-scan structures: token n-gram dict probes instead of a
+        # compiled alternation — a ~3,000-literal Python-re alternation
+        # backtracks per position (≈0.5 ms/negative string), the probe is
+        # two dict lookups per word. Token-aligned, so short names (bera,
+        # lama, tala) still can't fire inside unrelated words. Only plain
+        # 1-4-word letter names participate; others stay lookup-only.
+        self._scan_ngrams: Dict[int, set] = {}
+        for n in sorted(set(self.upazilas) | set(self.unions)):
+            if _PLAIN_NAME.match(n):
+                toks = tuple(n.split(" "))
+                self._scan_ngrams.setdefault(len(toks), set()).add(toks)
+        self._scan_max_n = max(self._scan_ngrams, default=0)
 
     # ------------------------------------------------------ prediction ----
 
@@ -340,16 +420,33 @@ class GeoHierarchy:
 
     # -------------------------------------------------- proactive scan ----
 
+    _SCAN_TOKEN = re.compile(r"[a-z]+")
+
     def scan_address(self, address_lower: str) -> Optional[dict]:
         """Find an upazila/union mention in the raw normalized string
-        (reference ``geographic_validator.py:182-228``). Leftmost-longest
-        containment match; upazilas outrank unions at the same span."""
-        if self._scan_re is None:
+        (reference ``geographic_validator.py:182-228``). Leftmost match;
+        longest n-gram wins at the same start (the old longest-first
+        alternation semantics); upazilas outrank unions at the same span."""
+        if not self._scan_max_n:
             return None
-        m = self._scan_re.search(address_lower)
-        if not m:
+        toks = [(m.start(), m.end(), m.group(0))
+                for m in self._SCAN_TOKEN.finditer(address_lower)]
+        name = None
+        for i in range(len(toks)):
+            for n in range(min(self._scan_max_n, len(toks) - i), 0, -1):
+                grams = self._scan_ngrams.get(n)
+                if not grams:
+                    continue
+                cand = tuple(t[2] for t in toks[i:i + n])
+                if cand in grams and all(
+                        address_lower[toks[i + j][1]:toks[i + j + 1][0]]
+                        == " " for j in range(n - 1)):
+                    name = " ".join(cand)
+                    break
+            if name:
+                break
+        if name is None:
             return None
-        name = m.group(0)
         if name in self.upazilas:
             district, division, code = self.upazilas[name]
             return {"kind": "upazila", "name": name, "district": district,

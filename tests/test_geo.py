@@ -192,15 +192,30 @@ class TestLoadHierarchyAndSkeleton:
             GeoHierarchy,
         )
         g = GeoHierarchy()
-        assert len(g.upazilas) > 400          # curated + public skeleton
-        # skeleton entry: district/division autofill, NO fabricated postal
+        assert len(g.upazilas) > 500          # curated + skeleton + asset
+        assert len(g.unions) > 1500           # bundled full-scale asset
+        # skeleton entry widened by the asset: district/division autofill
+        # AND the real postal code (asset fills codes when the district
+        # reading agrees — no fabrication, the code comes from the data)
         d, v, code = g.upazilas["sreemangal"]
-        assert (d, v, code) == ("Moulvibazar", "Sylhet", "")
+        assert (d, v, code) == ("Moulvibazar", "Sylhet", "3211")
         hit = g.scan_address("meet me at sreemangal next week")
         assert hit["district"] == "Moulvibazar"
-        # postal prediction falls through to district-level inference
         p = g.predict_postal_code(area="sreemangal", district="moulvibazar")
-        assert p is None or p["source"] != "upazila_match"
+        assert p["postal_code"] == "3211" and p["source"] == "upazila_match"
+
+    def test_asset_union_scan_and_postal(self):
+        from ai_bangladesh_address_parser_ray.kernel.geo import (
+            GeoHierarchy,
+        )
+        g = GeoHierarchy()
+        # asset-only union (suffix-stripped from "salimpur union")
+        hit = g.scan_address("going to salimpur next week")
+        assert hit and hit["kind"] == "union"
+        # gazetteer-area collisions stay guarded: mirpur is the Dhaka
+        # area, never the Kushtia upazila
+        assert g.scan_address("mirpur 10, dhaka") is None
+        assert "mirpur" not in g.upazilas
 
     def test_scan_respects_word_boundaries(self):
         from ai_bangladesh_address_parser_ray.kernel.geo import (
