@@ -85,14 +85,14 @@ def _build_prescreen():
     import re as _re
     from .gazetteer import (AREAS, AREA_VARIANTS, DISTRICT_TO_DIVISION,
                             DISTRICT_VARIANTS, DIVISIONS)
-    from .geo import POST_OFFICES, full_layers
+    from .geo import full_layers
     from .normalizer import CORRECTIONS
 
-    upazilas, unions, villages = full_layers()
+    upazilas, unions, villages, post_offices = full_layers()
     names = (set(AREAS) | set(AREA_VARIANTS) | set(DISTRICT_TO_DIVISION)
              | {d.lower() for d in DISTRICT_VARIANTS}
              | {d.lower() for d in DIVISIONS} | set(upazilas) | set(unions)
-             | set(villages) | set(POST_OFFICES)
+             | set(villages) | set(post_offices)
              | {w for w, _ in CORRECTIONS})
     keywords = {
         "house", "home", "hous", "bari", "basa", "basha", "road", "rd",

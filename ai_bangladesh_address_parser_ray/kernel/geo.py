@@ -174,9 +174,10 @@ def _bundled_asset():
 
 
 def full_layers():
-    """(upazilas, unions, villages) — curated fixture, the ~495-name
-    skeleton, and the bundled full-scale asset merged under deterministic
-    guards; cached per process. Guard rules (metropolitan reading wins):
+    """(upazilas, unions, villages, post_offices) — curated fixture, the
+    ~495-name skeleton, and the bundled full-scale asset merged under
+    deterministic guards; cached per process. Guard rules (metropolitan
+    reading wins):
 
     - a name colliding with a gazetteer area (Mirpur of Kushtia vs
       Mirpur, Dhaka) is skipped — area evidence outranks geo scan;
@@ -231,7 +232,16 @@ def full_layers():
         union, upz, district, division = (list(val) + [""] * 4)[:4]
         villages[name] = (union.lower(), upz.lower(), district, division)
 
-    _FULL_LAYERS = (upazilas, unions, villages)
+    # post offices are lookup-only (never scanned), so area-name overlap
+    # is fine — "dhanmondi" the post office AGREES with the area and gives
+    # priority-4 postal prediction its real code
+    post_offices = dict(POST_OFFICES)
+    for name, val in sorted(asset.get("post_offices", {}).items()):
+        if name not in post_offices and len(name) >= 3:
+            district, code = (list(val) + ["", ""])[:2]
+            post_offices[name] = (district, code)
+
+    _FULL_LAYERS = (upazilas, unions, villages, post_offices)
     return _FULL_LAYERS
 
 
@@ -246,16 +256,17 @@ class GeoHierarchy:
 
     def __init__(self, upazilas=None, unions=None, villages=None,
                  post_offices=None):
-        if upazilas is None or unions is None or villages is None:
-            fu, fn, fv = full_layers()
+        if upazilas is None or unions is None or villages is None \
+                or post_offices is None:
+            fu, fn, fv, fp = full_layers()
             upazilas = fu if upazilas is None else upazilas
             unions = fn if unions is None else unions
             villages = fv if villages is None else villages
+            post_offices = fp if post_offices is None else post_offices
         self.upazilas = dict(upazilas)
         self.unions = dict(unions)
         self.villages = dict(villages)
-        self.post_offices = dict(
-            POST_OFFICES if post_offices is None else post_offices)
+        self.post_offices = dict(post_offices)
 
         # postal mappings: postal->upazila keeps the SORTED-FIRST upazila
         # when codes collide (deterministic, mirrors the reference's

@@ -9,9 +9,14 @@ administrative geography).
 Writes ``ai_bangladesh_address_parser_ray/data/bd_geo_hierarchy.json`` in
 the ``kernel.geo.load_hierarchy`` shape:
 
-    {"upazilas": {name: [district, division, postal_code]},
-     "unions":   {name: [upazila, district, division]},
-     "villages": {name: [union, upazila, district, division]}}
+    {"upazilas":     {name: [district, division, postal_code]},
+     "unions":       {name: [upazila, district, division]},
+     "villages":     {name: [union, upazila, district, division]},
+     "post_offices": {name: [district, postal_code]}}
+
+The post-office layer comes from ``bd-postal-codes.json`` in the same
+directory (1,226 {district, postOffice, code} rows — the reference's
+``_load_postal_codes`` surface).
 
 Name collisions across divisions keep the first in sorted (division-file,
 district) order — deterministic, mirroring the reference's
@@ -67,7 +72,19 @@ def build(division_dir: str) -> dict:
                         if vn:
                             villages.setdefault(
                                 vn.lower(), [unn, un, dn, division])
-    return {"upazilas": upazilas, "unions": unions, "villages": villages}
+    post_offices = {}
+    pc_file = os.path.join(division_dir, "bd-postal-codes.json")
+    if os.path.exists(pc_file):
+        with open(pc_file, encoding="utf-8") as fh:
+            for e in json.load(fh).get("postal_codes", []):
+                name = (e.get("postOffice") or "").strip().lower()
+                code = str(e.get("code") or "").strip()
+                district = (e.get("district") or "").strip()
+                if name and code and district:
+                    post_offices.setdefault(name, [district, code])
+
+    return {"upazilas": upazilas, "unions": unions, "villages": villages,
+            "post_offices": post_offices}
 
 
 def main():
