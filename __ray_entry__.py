@@ -449,6 +449,45 @@ def _q_regional_volume(sf_dir):
         t0_us=_date_us(_Q5_RANGE[0]), t1_us=_date_us(_Q5_RANGE[1]))
 
 
+def _q_customers_no_urgent_orders(sf_dir):
+    import pyarrow.compute as pc
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return F_rel.anti_join(customer, urgent,
+                           on="c_custkey", right_on="o_custkey") \
+        .sort("c_custkey")
+
+
+def _q_urgent_customers(sf_dir):
+    import pyarrow.compute as pc
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return F_rel.semi_join(customer, urgent,
+                           on="c_custkey", right_on="o_custkey") \
+        .sort("c_custkey")
+
+
+def _q_events_distinct_users(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return F_rel.distinct_count(ev, "event_type", "user_id",
+                                alias="n_distinct_users")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -473,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "unshipped_revenue_topk": _q_unshipped_topk,
         "regional_nation_volume": _q_regional_volume,
+        "customers_no_urgent_orders": _q_customers_no_urgent_orders,
+        "urgent_customers": _q_urgent_customers,
+        "events_distinct_users": _q_events_distinct_users,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "linkage_clusters": _q_linkage,
         "extract_turn_components": _q_extract,
@@ -765,4 +807,20 @@ FROM s GROUP BY user_id, session_id"""),
             f"AND o.o_orderdate >= TIMESTAMP '{_Q5_RANGE[0]}' "
             f"AND o.o_orderdate < TIMESTAMP '{_Q5_RANGE[1]}' "
             "GROUP BY n.n_name ORDER BY revenue_cents DESC, n.n_name"),
+        "customers_no_urgent_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "ORDER BY c_custkey"),
+        "urgent_customers": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "ORDER BY c_custkey"),
+        "events_distinct_users": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"),
     }

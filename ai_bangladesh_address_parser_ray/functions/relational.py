@@ -606,3 +606,61 @@ def tumbling_window_agg(events_ds, width_s: int = 3600):
             .aggregate(Count("value_cents", alias_name="n"),
                        Sum("value_cents", alias_name="sum_value_cents"))
             .sort(["window_us", "event_type"]))
+
+
+# ------------------------------------------------- semi / anti join ----
+
+def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_partitions: int | None = None):
+    """Rows of ``left_ds`` with AT LEAST ONE key match in ``right_ds``
+    (SQL ``WHERE EXISTS``), keeping only left columns and never
+    duplicating a left row on multi-match — Ray's native ``left_semi``
+    hash join (one all-to-all, each row moves once). New operator beyond
+    the reference (its 1-vs-1 `compare_addresses` has no set semantics)."""
+    return left_ds.join(right_ds, join_type="left_semi",
+                        num_partitions=num_partitions or _live_partitions(),
+                        on=(on,), right_on=(right_on or on,))
+
+
+def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_partitions: int | None = None):
+    """Rows of ``left_ds`` with NO key match in ``right_ds`` (SQL
+    ``WHERE NOT EXISTS`` / ``NOT IN`` with non-null keys) — native
+    ``left_anti`` hash join. The dedup/backfill primitive: "which
+    documents are NOT in the processed ledger" at 100 TB is this exact
+    shape, hash-partitioned so neither side materializes."""
+    return left_ds.join(right_ds, join_type="left_anti",
+                        num_partitions=num_partitions or _live_partitions(),
+                        on=(on,), right_on=(right_on or on,))
+
+
+# --------------------------------------------------- distinct count ----
+
+def distinct_count(ds, group_col: str, distinct_col: str,
+                   alias: str = "n_distinct"):
+    """(group) -> COUNT(DISTINCT distinct_col), exact.
+
+    Map side first collapses each block to its LOCAL distinct
+    (group, value) pairs (pyarrow group_by — vectorized, no Python rows),
+    so the first shuffle moves one row per distinct pair per block, not
+    one per input row; the global distinct is then a (group, value)
+    groupby whose result is re-grouped once more — the second shuffle is
+    tiny (one row per distinct pair). Mass duplication (the 100-TB skew
+    case) collapses before it ever ships."""
+    def _local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, distinct_col]).group_by(
+            [group_col, distinct_col]).aggregate([])
+
+    pairs = (ds.map_batches(_local_distinct, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby([group_col, distinct_col])
+             .aggregate(Count(distinct_col, alias_name="_dup")))
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, distinct_col])
+
+    return (pairs.map_batches(_drop, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(Count(distinct_col, alias_name=alias))
+            .sort(group_col))

@@ -231,3 +231,55 @@ class TestLangIdOracle:
         # exact float equality on scores: both sides are the same raw
         # int/int IEEE division
         assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+class TestSemiAntiDistinct:
+    def _sides(self, ray_session):
+        import ray.data
+        left = pa.table({"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+        right = pa.table({"rk": [2, 2, 4, 9]})
+        return (ray.data.from_arrow(left), ray.data.from_arrow(right))
+
+    def test_semi_join_no_duplication(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            semi_join,
+        )
+        l, r = self._sides(ray_session)
+        out = semi_join(l, r, on="k", right_on="rk").to_pandas()
+        # k=2 matches TWO right rows but appears ONCE; right cols dropped
+        assert sorted(out["k"]) == [2, 4]
+        assert list(out.columns) == ["k", "name"]
+
+    def test_anti_join_complement(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            anti_join, semi_join,
+        )
+        l, r = self._sides(ray_session)
+        semi = semi_join(l, r, on="k", right_on="rk").to_pandas()
+        anti = anti_join(l, r, on="k", right_on="rk").to_pandas()
+        assert sorted(anti["k"]) == [1, 3]
+        assert sorted(list(semi["k"]) + list(anti["k"])) == [1, 2, 3, 4]
+
+    def test_distinct_count_collapses_duplicates(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            distinct_count,
+        )
+        tbl = pa.table({
+            "g": ["x"] * 5 + ["y"] * 3,
+            "u": [1, 1, 1, 2, 2, 7, 7, 7],
+        })
+        out = distinct_count(ray.data.from_arrow(tbl), "g", "u").to_pandas()
+        assert out.set_index("g")["n_distinct"].to_dict() == {"x": 2, "y": 1}
+
+    def test_new_queries_match_sql(self, ray_session):
+        import __ray_entry__ as E
+        con = duckdb.connect()
+        for t in ("customer", "orders", "events"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        for q in ("customers_no_urgent_orders", "urgent_customers",
+                  "events_distinct_users"):
+            got = _norm(E.queries()[q](SF).to_pandas())
+            want = _norm(con.execute(E.oracle_sql()[q]).fetch_df())
+            assert_frame_equal(got, want, check_dtype=False), q
