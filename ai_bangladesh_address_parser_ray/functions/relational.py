@@ -398,17 +398,27 @@ def _isin_sorted(sorted_keys: np.ndarray, values: np.ndarray) -> np.ndarray:
 
 def unshipped_revenue_topk(lineitem_ds, orders_ds, customer: pa.Table,
                            segment: str, cutoff_us: int, k: int = 10,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           broadcast_limit: int = 2_000_000):
     """TPC-H Q3 shape: top-k revenue among orders of one market segment
     placed before ``cutoff_us`` with line items still unshipped after it.
 
     Plan (shuffle-minimal): the segment's custkeys broadcast once as a
     sorted int64 vector (filter pushed into the orders map — no customer
-    shuffle); lineitem pre-aggregates integer-cent revenue per orderkey
-    BEFORE the join, so the big x big :func:`hash_join` moves one row per
-    surviving order, not one per line item; only the tiny top-k sort runs
-    on the driver side of the pipeline. Ties at the k boundary break on
-    ascending orderkey — deterministic under any partitioning.
+    shuffle). Then two physical strategies gated on the FILTERED order
+    count (segment x date kills ~85% of orders):
+
+    - **broadcast** (surviving orders <= broadcast_limit): the filtered
+      (orderkey, date, priority) table is ``ray.put`` once; lineitem
+      filters by shipdate AND membership, pre-aggregates cents per
+      orderkey INSIDE each map task (pyarrow group_by), and one tiny
+      groupby over surviving orderkeys finishes — zero big shuffles.
+    - **hash join** (bigger): lineitem pre-aggregates revenue per
+      orderkey, then the big x big :func:`hash_join` moves one row per
+      surviving order, not one per line item.
+
+    Only the tiny top-k fold runs on the driver. Ties at the k boundary
+    break on ascending orderkey — deterministic under any partitioning.
     """
     seg_keys = np.sort(
         customer.filter(pc.equal(customer["c_mktsegment"], segment))
@@ -438,14 +448,64 @@ def unshipped_revenue_topk(lineitem_ds, orders_ds, customer: pa.Table,
             "revenue_cents": _rev_cents(t),
         })
 
-    rev = (lineitem_ds.map_batches(_lines, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-           .groupby("l_orderkey")
-           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
     orders = orders_ds.map_batches(_orders, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    joined = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey",
-                       num_partitions=num_partitions)
+                                   zero_copy_batch=True).materialize()
+
+    if orders.count() <= broadcast_limit:
+        otbl = pa.concat_tables(
+            b for b in orders.iter_batches(batch_format="pyarrow"))
+        okeys = otbl["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order_sort = np.argsort(okeys, kind="stable")
+        okeys_sorted = okeys[order_sort]
+        oref = ray.put((okeys_sorted,
+                        otbl["o_orderdate"].take(pa.array(order_sort)),
+                        otbl["o_orderpriority"].take(pa.array(order_sort))))
+
+        def _lines_bcast(batch: pa.Table) -> pa.Table:
+            keys_sorted, _, _ = ray.get(oref)
+            ts = _ts_us(batch["l_shipdate"])
+            t = batch.filter(pc.greater(ts, cutoff_us))
+            lk = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_isin_sorted(keys_sorted, lk)))
+            # partial agg inside the task: one row per surviving orderkey
+            part = pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "revenue_cents": _rev_cents(t),
+            }).group_by("l_orderkey").aggregate(
+                [("revenue_cents", "sum")])
+            return pa.table({"l_orderkey": part["l_orderkey"],
+                             "revenue_cents": part["revenue_cents_sum"]})
+
+        rev = (lineitem_ds.map_batches(_lines_bcast, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+               .groupby("l_orderkey")
+               .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            keys_sorted, dates, prios = ray.get(oref)
+            lk = batch["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys_sorted, lk)
+            idx = pa.array(pos)
+            return pa.table({
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": batch["revenue_cents"],
+                "o_orderdate": dates.take(idx),
+                "o_orderpriority": prios.take(idx),
+            })
+
+        joined = rev.map_batches(_attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        rev = (lineitem_ds.map_batches(_lines, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+               .groupby("l_orderkey")
+               .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+        joined = hash_join(rev, orders,
+                           on="l_orderkey", right_on="o_orderkey",
+                           num_partitions=num_partitions)
 
     return streaming_topk(
         joined.select_columns(["l_orderkey", "revenue_cents",

@@ -197,6 +197,36 @@ class TestTpchShapes:
         _cmp(E.queries()["regional_nation_volume"](SF),
              E.oracle_sql()["regional_nation_volume"])
 
+    def test_unshipped_hash_join_path_identical(self, ray_session):
+        """Both physical strategies (broadcast-gated vs big x big hash
+        join) must produce the identical top-k."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            unshipped_revenue_topk,
+        )
+        cutoff = int(np.datetime64("1998-06-01", "us").astype(np.int64))
+
+        def run(limit):
+            li = ray.data.read_parquet(
+                f"{SF}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount",
+                         "l_shipdate"])
+            od = ray.data.read_parquet(
+                f"{SF}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"])
+            cu = pq.read_table(f"{SF}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+            return unshipped_revenue_topk(
+                li, od, cu, segment="BUILDING", cutoff_us=cutoff, k=10,
+                broadcast_limit=limit).to_pandas()
+
+        bcast = run(2_000_000)
+        hashj = run(0)                       # force the hash-join path
+        assert_frame_equal(_norm(bcast), _norm(hashj), check_dtype=False)
+
 
 class TestSlidingWindow:
     def test_matches_sql(self, ray_session):
