@@ -216,9 +216,17 @@ def asof_join(left_ds, right_ds, by: str, on_us: str,
     the later row in (on_us, tag) sort order — make ``on_us`` unique per
     key for fully deterministic output.
     """
-    left_cols = None
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    left_cols = [c for c in l_schema.names if c not in (by, on_us)]
+    l_types = [l_schema.types[l_schema.names.index(c)] for c in left_cols]
+    r_types = [r_schema.types[r_schema.names.index(c)]
+               for c in right_payload]
+    all_names = [by, on_us, "__tag", "bucket"] + left_cols + right_payload
 
-    def _tag(side: int, keep: list[str]):
+    def _tag(side: int, keep: list, nulls: list):
+        # one fused pass per side: tag + bucket + null-pad the OTHER
+        # side's payload so the union needs no alignment pass
         def _f(batch: pa.Table) -> pa.Table:
             key = pc.cast(batch[by], pa.int64())
             cols = {by: key, on_us: pc.cast(batch[on_us], pa.int64()),
@@ -227,39 +235,18 @@ def asof_join(left_ds, right_ds, by: str, on_us: str,
                                       pa.int32())}
             for c in keep:
                 cols[c] = batch[c]
-            return pa.table(cols)
+            for c, t in nulls:
+                cols[c] = pa.nulls(len(batch), t)
+            return pa.table(cols).select(all_names)
         return _f
 
-    lc = [c for c in left_ds.schema().names if c not in (by, on_us)]
-    left_cols = lc
-    tagged_l = left_ds.map_batches(_tag(1, lc), batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    tagged_r = right_ds.map_batches(_tag(0, right_payload),
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    # union with schema alignment: each side nulls the other's payload
-    def _align(names, types):
-        def _f(batch: pa.Table) -> pa.Table:
-            out = batch
-            for n, t in zip(names, types):
-                if n not in out.column_names:
-                    out = out.append_column(
-                        n, pa.nulls(len(out), t))
-            return out
-        return _f
-
-    r_schema = tagged_r.schema()
-    l_schema = tagged_l.schema()
-    r_types = [r_schema.types[r_schema.names.index(c)]
-               for c in right_payload]
-    l_types = [l_schema.types[l_schema.names.index(c)] for c in left_cols]
-    tagged_l = tagged_l.map_batches(_align(right_payload, r_types),
-                                    batch_format="pyarrow")
-    tagged_r = tagged_r.map_batches(_align(left_cols, l_types),
-                                    batch_format="pyarrow")
-    all_names = [by, on_us, "__tag", "bucket"] + left_cols + right_payload
-    both = tagged_l.select_columns(all_names) \
-        .union(tagged_r.select_columns(all_names))
+    tagged_l = left_ds.map_batches(
+        _tag(1, left_cols, list(zip(right_payload, r_types))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tagged_r = right_ds.map_batches(
+        _tag(0, right_payload, list(zip(left_cols, l_types))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    both = tagged_l.union(tagged_r)
 
     def _resolve(group: pa.Table) -> pa.Table:
         key = group[by].combine_chunks().to_numpy(zero_copy_only=False)
