@@ -657,16 +657,34 @@ def tumbling_window_agg(events_ds, width_s: int = 3600):
 
 # ------------------------------------------------- semi / anti join ----
 
+def _null_key_sentinel(right_ds, right_on: str):
+    """Union ONE null-key row onto the right side: a right side that
+    filters down to ZERO rows loses its schema through the shuffle and
+    Acero aborts with "no match for key field" — while a null key matches
+    nothing under SQL join semantics (verified for Acero's left_semi /
+    left_anti), so the sentinel is invisible in the result. Costs one
+    1-row block; schema comes from dataset metadata (no execution)."""
+    schema = right_ds.schema()
+    sentinel = ray.data.from_arrow(pa.table(
+        {n: pa.nulls(1, t) for n, t in zip(schema.names, schema.types)}))
+    return right_ds.union(sentinel)
+
+
 def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
               num_partitions: int | None = None):
     """Rows of ``left_ds`` with AT LEAST ONE key match in ``right_ds``
     (SQL ``WHERE EXISTS``), keeping only left columns and never
     duplicating a left row on multi-match — Ray's native ``left_semi``
     hash join (one all-to-all, each row moves once). New operator beyond
-    the reference (its 1-vs-1 `compare_addresses` has no set semantics)."""
-    return left_ds.join(right_ds, join_type="left_semi",
+    the reference (its 1-vs-1 `compare_addresses` has no set semantics).
+    The right side gets a null-key sentinel so a zero-row right (ledger
+    filter matching nothing) degrades to the correct answer instead of a
+    lost-schema Acero abort (see :func:`_null_key_sentinel`)."""
+    right_on = right_on or on
+    return left_ds.join(_null_key_sentinel(right_ds, right_on),
+                        join_type="left_semi",
                         num_partitions=num_partitions or _live_partitions(),
-                        on=(on,), right_on=(right_on or on,))
+                        on=(on,), right_on=(right_on,))
 
 
 def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
@@ -675,10 +693,13 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
     ``WHERE NOT EXISTS`` / ``NOT IN`` with non-null keys) — native
     ``left_anti`` hash join. The dedup/backfill primitive: "which
     documents are NOT in the processed ledger" at 100 TB is this exact
-    shape, hash-partitioned so neither side materializes."""
-    return left_ds.join(right_ds, join_type="left_anti",
+    shape, hash-partitioned so neither side materializes. Null-key
+    sentinel on the right side as in :func:`semi_join`."""
+    right_on = right_on or on
+    return left_ds.join(_null_key_sentinel(right_ds, right_on),
+                        join_type="left_anti",
                         num_partitions=num_partitions or _live_partitions(),
-                        on=(on,), right_on=(right_on or on,))
+                        on=(on,), right_on=(right_on,))
 
 
 # --------------------------------------------------- distinct count ----

@@ -313,3 +313,39 @@ class TestSemiAntiDistinct:
             got = _norm(E.queries()[q](SF).to_pandas())
             want = _norm(con.execute(E.oracle_sql()[q]).fetch_df())
             assert_frame_equal(got, want, check_dtype=False), q
+
+    def test_empty_right_side_degrades_correctly(self, ray_session):
+        """A right side that filters to ZERO rows must give the correct
+        set answer, not a lost-schema Acero abort (null-key sentinel)."""
+        import pyarrow.compute as pc
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            anti_join, semi_join,
+        )
+        left = ray.data.from_arrow(
+            pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"]}))
+        right = ray.data.from_arrow(
+            pa.table({"rk": [5] * 10})).map_batches(
+            lambda t: t.filter(pc.greater(t["rk"], 99)),
+            batch_format="pyarrow")
+        anti = anti_join(left, right, on="k", right_on="rk").to_pandas()
+        semi = semi_join(left, right, on="k", right_on="rk").to_pandas()
+        assert sorted(anti["name"]) == ["a", "b", "c"]
+        # (an all-empty RESULT loses column names through to_pandas — a
+        # Ray empty-dataset artifact, distinct from the crash this guards)
+        assert len(semi) == 0
+
+    def test_null_left_keys_never_match(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            anti_join, semi_join,
+        )
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, None], pa.int64()),
+            "name": ["a", "b", "n"]}))
+        right = ray.data.from_arrow(pa.table({"rk": pa.array([2],
+                                                             pa.int64())}))
+        anti = anti_join(left, right, on="k", right_on="rk").to_pandas()
+        semi = semi_join(left, right, on="k", right_on="rk").to_pandas()
+        assert sorted(anti["name"]) == ["a", "n"]   # null key: no match
+        assert sorted(semi["name"]) == ["b"]
