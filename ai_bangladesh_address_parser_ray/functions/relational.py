@@ -663,11 +663,14 @@ def _null_key_sentinel(right_ds, right_on: str):
     Acero aborts with "no match for key field" — while a null key matches
     nothing under SQL join semantics (verified for Acero's left_semi /
     left_anti), so the sentinel is invisible in the result. Costs one
-    1-row block; schema comes from dataset metadata (no execution)."""
+    1-row block; schema comes from dataset metadata (no execution).
+    The sentinel goes FIRST in the union: the first operand's schema is
+    the precedent the shuffle aggregator resolves empty bundles against
+    (sentinel-last still aborted on an all-empty right block)."""
     schema = right_ds.schema()
     sentinel = ray.data.from_arrow(pa.table(
         {n: pa.nulls(1, t) for n, t in zip(schema.names, schema.types)}))
-    return right_ds.union(sentinel)
+    return sentinel.union(right_ds)
 
 
 def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,

@@ -349,3 +349,67 @@ class TestSemiAntiDistinct:
         semi = semi_join(left, right, on="k", right_on="rk").to_pandas()
         assert sorted(anti["name"]) == ["a", "n"]   # null key: no match
         assert sorted(semi["name"]) == ["b"]
+
+
+class TestSetOpsProperty:
+    """Randomized set-op properties vs DuckDB (hypothesis). Ray sessions
+    are expensive per example, so each example stays tiny and max_examples
+    low — the deterministic structure (dup keys, nulls, empty sides) is
+    what the strategy explores."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _keys = st.lists(st.one_of(st.integers(0, 8), st.none()),
+                     min_size=0, max_size=12)
+
+    @given(left=_keys, right=_keys)
+    @settings(max_examples=12, deadline=None)
+    def test_semi_anti_match_duckdb(self, ray_session, left, right):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            anti_join, semi_join,
+        )
+        if not left:
+            return                       # empty LEFT: nothing to assert on
+        lt = pa.table({"k": pa.array(left, pa.int64()),
+                       "i": pa.array(range(len(left)), pa.int64())})
+        rt = pa.table({"rk": pa.array(right, pa.int64())})
+        lds = ray.data.from_arrow(lt)
+        rds = ray.data.from_arrow(rt)
+        semi = semi_join(lds, rds, on="k", right_on="rk").to_pandas()
+        anti = anti_join(lds, rds, on="k", right_on="rk").to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        want_semi = con.execute(
+            "SELECT i FROM l WHERE EXISTS "
+            "(SELECT 1 FROM r WHERE r.rk = l.k)").fetch_df()
+        want_anti = con.execute(
+            "SELECT i FROM l WHERE NOT EXISTS "
+            "(SELECT 1 FROM r WHERE r.rk = l.k)").fetch_df()
+        got_semi = sorted(semi["i"]) if len(semi) else []
+        got_anti = sorted(anti["i"]) if len(anti) else []
+        assert got_semi == sorted(want_semi["i"])
+        assert got_anti == sorted(want_anti["i"])
+        # partition property: every left row lands in exactly one side
+        assert sorted(got_semi + got_anti) == sorted(range(len(left)))
+
+    @given(rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 5)),
+        min_size=1, max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def test_distinct_count_matches_duckdb(self, ray_session, rows):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            distinct_count,
+        )
+        tbl = pa.table({"g": [r[0] for r in rows],
+                        "u": pa.array([r[1] for r in rows], pa.int64())})
+        got = distinct_count(ray.data.from_arrow(tbl), "g", "u") \
+            .to_pandas().set_index("g")["n_distinct"].to_dict()
+        con = duckdb.connect()
+        con.register("t", tbl.to_pandas())
+        want = dict(con.execute(
+            "SELECT g, COUNT(DISTINCT u) FROM t GROUP BY g").fetchall())
+        assert got == want
