@@ -26,6 +26,7 @@ from ai_bangladesh_address_parser_ray.functions import stats as F_stats
 from ai_bangladesh_address_parser_ray.functions import text_analysis as F_text
 from ai_bangladesh_address_parser_ray.functions import multimodal as F_mm
 from ai_bangladesh_address_parser_ray.functions import relational as F_rel
+from ai_bangladesh_address_parser_ray.functions import windows as F_win
 from ai_bangladesh_address_parser_ray.kernel.normalizer import (
     BN_KEYWORDS, BN_NUMERALS, BN_PLACES, CORRECTIONS)
 from ai_bangladesh_address_parser_ray.pipelines.linkage import (
@@ -488,6 +489,45 @@ def _q_events_distinct_users(sf_dir):
                                 alias="n_distinct_users")
 
 
+def _q_events_user_windows(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    return F_win.per_key_window(ev)
+
+
+_TOPK_PER_LANG = 5
+
+
+def _q_top_docs_per_lang(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return F_win.grouped_topk(docs, "lang", "n_chars", "doc_id",
+                              k=_TOPK_PER_LANG)
+
+
+def _q_events_value_quantiles(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return F_win.grouped_quantiles(ev, "event_type", qs=(0.25, 0.5, 0.9))
+
+
+_SAMPLE_K = 100
+
+
+def _q_sample_docs_det(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "source"])
+    return F_win.sample_topk_md5(docs, "doc_id", _SAMPLE_K,
+                                 ["lang", "source"])
+
+
+def _q_events_hll_users(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return F_win.hll_distinct(ev, "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-oracled
@@ -515,7 +555,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "urgent_customers": _q_urgent_customers,
         "events_distinct_users": _q_events_distinct_users,
+        "events_user_windows": _q_events_user_windows,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "sample_docs_det": _q_sample_docs_det,
         # rows-only (stateful / model / iterative — no SQL equivalent)
+        "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
         "extract_turn_components": _q_extract,
         "minhash_dup_pairs": _q_minhash,
@@ -823,4 +868,41 @@ FROM s GROUP BY user_id, session_id"""),
             "SELECT event_type, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users "
             "FROM events GROUP BY event_type ORDER BY event_type"),
+        "events_user_windows": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents, "
+            "CAST(row_number() OVER w AS BIGINT) AS row_rank "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+        "top_docs_per_lang": (
+            f"SELECT lang, n_chars, doc_id, rank FROM ("
+            f"SELECT lang, n_chars, doc_id, "
+            f"row_number() OVER (PARTITION BY lang "
+            f"ORDER BY n_chars DESC, doc_id) AS rank "
+            f"FROM documents) WHERE rank <= {_TOPK_PER_LANG}"),
+        "events_value_quantiles": (
+            # inverse-CDF discrete quantile over integer cents: q-th
+            # quantile = smallest cents with cumulative count >= ceil(q*n)
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "tot AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1), "
+            "h AS (SELECT event_type, cents, COUNT(*) AS cnt "
+            "FROM c GROUP BY 1, 2), "
+            "r AS (SELECT event_type, cents, SUM(cnt) OVER "
+            "(PARTITION BY event_type ORDER BY cents) AS cum FROM h) "
+            "SELECT t.event_type, t.n, "
+            "(SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type "
+            "AND cum >= ceil(0.25 * t.n)) AS p25_cents, "
+            "(SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type "
+            "AND cum >= ceil(0.5 * t.n)) AS p50_cents, "
+            "(SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type "
+            "AND cum >= ceil(0.9 * t.n)) AS p90_cents "
+            "FROM tot t"),
+        "sample_docs_det": (
+            f"SELECT doc_id, lang, source, "
+            f"md5(CAST(doc_id AS VARCHAR)) AS h "
+            f"FROM documents ORDER BY h, doc_id LIMIT {_SAMPLE_K}"),
     }

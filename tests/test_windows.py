@@ -1,0 +1,234 @@
+"""Window/top-k/quantile/sample/sketch operators (functions/windows.py)
+vs DuckDB oracles and analytic ground truth."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pandas.testing import assert_frame_equal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["events", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _cmp(got, sql):
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert_frame_equal(_norm(got), _norm(_con().execute(sql).fetch_df()),
+                       check_dtype=False)
+
+
+class TestPerKeyWindow:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            per_key_window)
+        ev = ray.data.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"])
+        _cmp(per_key_window(ev), """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents,
+  CAST(row_number() OVER w AS BIGINT) AS row_rank
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+
+    def test_single_row_and_ties(self, ray_session):
+        """One-event user -> null gap, rank 1; equal ts breaks on
+        event_id so the segmented cumsum is deterministic."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            per_key_window)
+        t = pa.table({
+            "event_id": pa.array([3, 1, 2, 9], pa.int64()),
+            "ts": pa.array([100, 100, 100, 50], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        })
+        out = per_key_window(ray.data.from_arrow(t), n_buckets=4) \
+            .to_pandas().sort_values(["user_id", "row_rank"]) \
+            .reset_index(drop=True)
+        assert list(out["event_id"]) == [1, 2, 3, 9]
+        assert list(out["row_rank"]) == [1, 2, 3, 1]
+        assert list(out["run_sum_cents"]) == [200, 500, 600, 400]
+        assert pd.isna(out["gap_us"][0]) and pd.isna(out["gap_us"][3])
+        assert list(out["gap_us"][1:3]) == [0, 0]
+
+
+class TestGroupedTopk:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_topk)
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"])
+        _cmp(grouped_topk(docs, "lang", "n_chars", "doc_id", k=5), """
+SELECT lang, n_chars, doc_id, rank FROM (
+  SELECT lang, n_chars, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+    AS rank FROM documents) WHERE rank <= 5""")
+
+    def test_group_smaller_than_k(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_topk)
+        t = pa.table({"g": ["a", "a", "b"],
+                      "v": pa.array([1, 5, 2], pa.int64()),
+                      "id": pa.array([10, 11, 12], pa.int64())})
+        out = _norm(grouped_topk(ray.data.from_arrow(t), "g", "v", "id",
+                                 k=10).to_pandas())
+        assert len(out) == 3
+        assert set(zip(out["g"], out["rank"])) == {("a", 1), ("a", 2),
+                                                   ("b", 1)}
+
+    def test_local_prune_never_drops(self, ray_session):
+        """A group spread across many blocks must still produce the
+        global top-k (the per-batch cut keeps k per key per batch)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_topk)
+        rng = np.random.default_rng(7)
+        v = rng.permutation(1000).astype(np.int64)
+        t = pa.table({"g": ["x"] * 1000, "v": v,
+                      "id": pa.array(np.arange(1000), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(20)
+        out = grouped_topk(ds, "g", "v", "id", k=3).to_pandas() \
+            .sort_values("rank")
+        assert list(out["v"]) == [999, 998, 997]
+
+
+class TestGroupedQuantiles:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_quantiles)
+        ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                                   columns=["event_type", "value"])
+        _cmp(grouped_quantiles(ev), """
+WITH c AS (SELECT event_type,
+           CAST(round(value*100) AS BIGINT) AS cents FROM events),
+tot AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1),
+h AS (SELECT event_type, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+r AS (SELECT event_type, cents,
+      SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum FROM h)
+SELECT t.event_type, t.n,
+ (SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type
+  AND cum >= ceil(0.25*t.n)) AS p25_cents,
+ (SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type
+  AND cum >= ceil(0.5*t.n)) AS p50_cents,
+ (SELECT MIN(cents) FROM r WHERE r.event_type = t.event_type
+  AND cum >= ceil(0.9*t.n)) AS p90_cents
+FROM tot t""")
+
+    def test_known_distribution(self, ray_session):
+        """cents 1..100 once each: inverse-CDF quantiles are exactly
+        ceil(q*100)."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_quantiles)
+        t = pa.table({"event_type": ["u"] * 100,
+                      "value": (np.arange(1, 101) / 100.0)})
+        out = grouped_quantiles(
+            ray.data.from_arrow(t).repartition(7)).to_pandas()
+        assert out.iloc[0]["p25_cents"] == 25
+        assert out.iloc[0]["p50_cents"] == 50
+        assert out.iloc[0]["p90_cents"] == 90
+        assert out.iloc[0]["n"] == 100
+
+
+class TestSampleMd5:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            sample_topk_md5)
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "lang", "source"])
+        got = sample_topk_md5(docs, "doc_id", 50, ["lang", "source"])
+        _cmp(got.to_pandas(), """
+SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents ORDER BY h, doc_id LIMIT 50""")
+
+    def test_partition_invariant(self, ray_session):
+        """The sample is a pure function of the data, not the layout."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            sample_topk_md5)
+        t = pa.table({"doc_id": pa.array(np.arange(500), pa.int64()),
+                      "x": pa.array(np.arange(500), pa.int64())})
+        a = sample_topk_md5(ray.data.from_arrow(t), "doc_id", 20,
+                            ["x"]).to_pandas()
+        b = sample_topk_md5(ray.data.from_arrow(t).repartition(13),
+                            "doc_id", 20, ["x"]).to_pandas()
+        assert_frame_equal(_norm(a), _norm(b))
+
+
+class TestHll:
+    def test_error_bound_at_scale(self, ray_session):
+        """p=12 -> ~1.6% standard error; assert < 5% at 100k distinct."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            hll_distinct)
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 100_000, size=300_000)
+        t = pa.table({"g": ["big"] * len(vals),
+                      "v": pa.array(vals, pa.int64())})
+        exact = len(np.unique(vals))
+        out = hll_distinct(ray.data.from_arrow(t).repartition(16),
+                           "g", "v").to_pandas()
+        est = int(out.iloc[0]["approx_distinct"])
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            hll_distinct)
+        t = pa.table({"g": ["s"] * 40, "v": pa.array(
+            list(range(10)) * 4, pa.int64())})
+        out = hll_distinct(ray.data.from_arrow(t), "g", "v").to_pandas()
+        assert int(out.iloc[0]["approx_distinct"]) == 10
+
+    def test_merge_is_partition_invariant(self, ray_session):
+        """Register max-merge is associative/commutative: estimate must
+        not depend on block layout."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            hll_distinct)
+        vals = np.arange(5000, dtype=np.int64)
+        t = pa.table({"g": ["g"] * 5000, "v": vals})
+        a = hll_distinct(ray.data.from_arrow(t), "g", "v").to_pandas()
+        b = hll_distinct(ray.data.from_arrow(t).repartition(31),
+                         "g", "v").to_pandas()
+        assert int(a.iloc[0]["approx_distinct"]) == \
+            int(b.iloc[0]["approx_distinct"])
+
+    def test_registers_match_reference_formula(self):
+        """Kernel unit check, no Ray: a hash with j leading zero bits in
+        its suffix must set register[bucket] to j+1."""
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            _hll_registers)
+        p = 12
+        # bucket 5, suffix with exactly 3 leading zeros after the top
+        # p bits: bits 51..0 of (hash << p)
+        bucket = np.uint64(5) << np.uint64(64 - p)
+        suffix = np.uint64(1) << np.uint64(64 - p - 1 - 3)
+        regs = _hll_registers(np.array([bucket | suffix], np.uint64), p)
+        assert regs[5] == 4
+        assert np.count_nonzero(regs) == 1
