@@ -522,6 +522,21 @@ def _q_sample_docs_det(sf_dir):
                                  ["lang", "source"])
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_docs_rollup(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+    return F_stats.rollup_counts(docs, ["lang", "source"])
+
+
+def _q_docs_lang_pivot(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "source"])
+    return F_stats.pivot_counts(docs, "source", "lang", _PIVOT_LANGS)
+
+
 def _q_events_hll_users(sf_dir):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
@@ -559,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "events_value_quantiles": _q_events_value_quantiles,
         "sample_docs_det": _q_sample_docs_det,
+        "docs_rollup": _q_docs_rollup,
+        "docs_lang_pivot": _q_docs_lang_pivot,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
@@ -905,4 +922,13 @@ FROM s GROUP BY user_id, session_id"""),
             f"SELECT doc_id, lang, source, "
             f"md5(CAST(doc_id AS VARCHAR)) AS h "
             f"FROM documents ORDER BY h, doc_id LIMIT {_SAMPLE_K}"),
+        "docs_rollup": (
+            "SELECT lang, source, COUNT(*) AS n FROM documents "
+            "GROUP BY ROLLUP(lang, source)"),
+        "docs_lang_pivot": (
+            "SELECT source, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{l}" for l in _PIVOT_LANGS)
+            + ", COUNT(*) AS n_total FROM documents GROUP BY source"),
     }

@@ -63,3 +63,74 @@ def completeness_stats(extracted_ds, component_fields):
     agg = fracs.aggregate(Mean("completeness", alias_name="mean_completeness"),
                           Count("completeness", alias_name="n_rows"))
     return agg
+
+
+def rollup_counts(ds, keys: list[str], alias: str = "n"):
+    """GROUP BY ROLLUP(keys): counts at every prefix grouping level, with
+    nulls in the rolled-up key columns (SQL ROLLUP convention).
+
+    Scale shape: ONE shuffle pre-aggregates at the finest level; every
+    coarser level is derived from that already-tiny aggregate (distinct
+    key combos, not rows) with driver-side pyarrow group_bys — the same
+    "aggregate the aggregate" trick that makes CUBE/ROLLUP cheap in MPP
+    engines. Assumes the finest aggregate fits on the driver, which any
+    consumer of a ROLLUP result already assumes.
+    """
+    from ray.data.aggregate import Count
+
+    finest_ds = ds.groupby(keys).aggregate(Count(alias_name=alias))
+    finest = pa.concat_tables(
+        ds_b for ds_b in finest_ds.iter_batches(batch_format="pyarrow"))
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            lvl = finest.group_by(kept).aggregate([(alias, "sum")]) \
+                .rename_columns(kept + [alias])
+        else:
+            lvl = pa.table({alias: pa.array(
+                [pc.sum(finest[alias]).as_py() or 0], pa.int64())})
+        for k in keys[depth:]:
+            lvl = lvl.append_column(
+                k, pa.nulls(len(lvl), finest.schema.field(k).type))
+        levels.append(lvl.select(keys + [alias]))
+    out = pa.concat_tables(t.select(keys + [alias]) for t in levels)
+    return out.set_column(
+        out.schema.get_field_index(alias),
+        alias, pc.cast(out[alias], pa.int64()))
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
+                 total_alias: str = "n_total"):
+    """Pivot row counts: one output row per ``row_key``, one ``n_<v>``
+    column per value of ``col_key`` (the SQL conditional-aggregation
+    pivot). ``col_values`` is the static column contract — a value
+    outside it still counts toward ``n_total``.
+
+    Scale shape: each batch pre-aggregates (row, col) cell counts (the
+    map-side combine), the shuffle carries histogram cells only, and one
+    tiny map_groups per row key lays out the wide row.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([row_key, col_key]) \
+            .group_by([row_key, col_key]).aggregate([([], "count_all")])
+        return g.rename_columns([row_key, col_key, "n"])
+
+    def _widen(group: pa.Table) -> pa.Table:
+        cols = group[col_key].to_pylist()
+        n = group["n"].to_pylist()
+        by = dict(zip(cols, n))
+        row = {row_key: [group[row_key][0].as_py()]}
+        for v in col_values:
+            row[f"n_{v}"] = pa.array([by.get(v, 0)], pa.int64())
+        row[total_alias] = pa.array([sum(n)], pa.int64())
+        return pa.table(row)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([row_key, col_key])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby(row_key)
+            .map_groups(_widen, batch_format="pyarrow"))

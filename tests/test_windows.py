@@ -232,3 +232,49 @@ class TestHll:
         regs = _hll_registers(np.array([bucket | suffix], np.uint64), p)
         assert regs[5] == 4
         assert np.count_nonzero(regs) == 1
+
+
+class TestRollupPivot:
+    def test_rollup_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            rollup_counts)
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["lang", "source"])
+        _cmp(rollup_counts(docs, ["lang", "source"]).to_pandas(),
+             "SELECT lang, source, COUNT(*) AS n FROM documents "
+             "GROUP BY ROLLUP(lang, source)")
+
+    def test_rollup_levels_sum(self, ray_session):
+        """Each rollup level must total the grand total."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            rollup_counts)
+        t = pa.table({"a": ["x", "x", "y"], "b": ["1", "2", "1"]})
+        out = rollup_counts(ray.data.from_arrow(t), ["a", "b"]).to_pandas()
+        grand = out[out["a"].isna() & out["b"].isna()]["n"].iloc[0]
+        lvl1 = out[out["a"].notna() & out["b"].isna()]["n"].sum()
+        lvl2 = out[out["b"].notna()]["n"].sum()
+        assert grand == lvl1 == lvl2 == 3
+
+    def test_pivot_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            pivot_counts)
+        langs = ["de", "en", "es", "fr", "zh"]
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["lang", "source"])
+        sql = ("SELECT source, " + ", ".join(
+            f"CAST(SUM(CASE WHEN lang='{l}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{l}" for l in langs)
+            + ", COUNT(*) AS n_total FROM documents GROUP BY source")
+        _cmp(pivot_counts(docs, "source", "lang", langs).to_pandas(), sql)
+
+    def test_pivot_unlisted_value_counts_in_total(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            pivot_counts)
+        t = pa.table({"r": ["s", "s", "s"], "c": ["en", "en", "xx"]})
+        out = pivot_counts(ray.data.from_arrow(t), "r", "c",
+                           ["en"]).to_pandas()
+        assert out.iloc[0]["n_en"] == 2 and out.iloc[0]["n_total"] == 3
