@@ -100,9 +100,13 @@ _HOUSE_POSITIONAL = [
     (re.compile(rf"(?:^|,)\s*({_HOUSE_COMPOUND})\s*(?:[,(]|$)"), 0.73),
     # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
     (re.compile(rf"\b({_HOUSE_COMPOUND})\s*,"), 0.72),
-    # leading bare token before a comma ("134, South Kamalapur"): weakest —
-    # short letter-suffixed leaders ("7B,") are usually flat ids
-    (re.compile(r"^\s*(\d{1,4}[A-Za-z]?)\s*,"), 0.70),
+    # leading bare token before a comma or parenthetical ("134, South
+    # Kamalapur", "269 (Quick Sultan)"): weakest — short letter-suffixed
+    # leaders ("7B,") are usually flat ids
+    (re.compile(r"^\s*(\d{1,4}[A-Za-z]?)\s*[,(]"), 0.70),
+    # leading bare number right before a digit compound ("215 2/3 Abedin
+    # Kibria House" is labeled 215 in the reference corpus)
+    (re.compile(r"^\s*(\d{1,4})\s+\d{1,4}\s*/"), 0.70),
 ]
 _STRUCT_BEFORE = re.compile(
     r"\b(?:Road|Rd|Lane|Line|Goli|Flat|Block|Floor|Level|Sector|Plot|Ward|"
@@ -134,6 +138,10 @@ def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
         return False
     if _ROAD_GOLI_AFTER.match(text[m.end(1):]):
         return False
+    # "60 Feet ..." names a road width, never a house (reference feet-road
+    # form, road_processor.py; the house bank must not eat its number)
+    if re.match(r"\s*feet\b", text[m.end(1):], re.I):
+        return False
     if _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:]):
         return False
     return True
@@ -145,7 +153,15 @@ def extract_house(text: str) -> Hit:
     # corpus labels "1152/C Greenhouse, House# 45" as 1152/C)
     m = _HOUSE_LEAD_COMPOUND.search(text)
     if m and _house_guards_ok(text, m, m.group(1), n):
-        return m.group(1), 0.92
+        # ...unless the lead is a short single-digit id ("9-C,") AND an
+        # explicit House-with-No token follows ("House No 390/A"): the
+        # reference corpus labels the explicit form then
+        lead = m.group(1)
+        if len(re.match(r"\d+", lead).group(0)) == 1:
+            me = _HOUSE_PATTERNS[0][0].search(text)
+            if me and _house_guards_ok(text, me, me.group(1), n):
+                return me.group(1), _HOUSE_PATTERNS[0][1]
+        return lead, 0.92
     for rx, conf in _HOUSE_PATTERNS:
         m = rx.search(text)
         if not m:
@@ -202,7 +218,7 @@ _FEET_BARE = re.compile(r"\b(\d+\s*feet)\b", re.I)
 _NAMED_ROAD_MID = re.compile(
     r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+){0,3}\s+(?:Road|Lane|Avenue|Rd))\b")
 _NAMED_GOLI_MID = re.compile(
-    r"\b([A-Za-z]+(?:\s+[A-Za-z]+){0,3}\s+Goli)\b", re.I)
+    r"\b((?:\d+\s+)?[A-Za-z]+(?:\s+[A-Za-z]+){0,3}\s+Goli)\b", re.I)
 # a named-road segment must not be a different field's phrase, and
 # "2 No Road" is the numbered road-goli form, not a named road
 _NAMED_VETO = re.compile(
@@ -653,6 +669,13 @@ def extract_postal(text: str) -> Hit:
         pos = last.start(1) / n
         if pos >= 0.8:
             return last.group(1), 0.85
+        # mid-string ", 6207, Rajshahi": a 4-digit immediately followed by
+        # a district name is the city-postal-city sandwich — strong enough
+        # to clear the 0.80 postal threshold (reference area-postal form)
+        after = text[last.end(1):].lstrip(" ,").lower()
+        if pos >= 0.4 and any(
+                after.startswith(d) for d in DISTRICT_TO_DIVISION):
+            return last.group(1), 0.85
         if pos >= 0.5:
             return last.group(1), 0.70
     return None
@@ -670,6 +693,11 @@ _FLAT_PATTERNS = [
                 re.I), 0.88),
     (re.compile(rf"\b(?:Unit|Suite)\s*{_NO_TOK}[-–]?\s*{_FLAT_VAL}",
                 re.I), 0.85),
+    # "6th Floor, 6B" / "3rd Floor, 29 No Shop": the short alnum token
+    # right after a floor segment is the flat/unit id (reference flat
+    # bank's positional forms, flat_number_processor.py:617-930)
+    (re.compile(r"\b(?:Floor|Level)\s*,\s*([A-Za-z]?\d{1,3}[A-Za-z]?)"
+                r"\s*(?:[,.(]|$|\bNo\b)", re.I), 0.75),
 ]
 _FLAT_STOP = {"no", "number", "num", "name", "nong"}
 

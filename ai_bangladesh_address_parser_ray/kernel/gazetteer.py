@@ -523,6 +523,7 @@ AREA_VARIANTS: Dict[str, str] = {
     "malibag": "malibagh",
     "mogbazar": "moghbazar",
     "aftabnagar": "aftab nagar",
+    "aftabnogor": "aftab nagar",
     "amberkhana": "ambarkhana",
     "puran dhaka": "old dhaka",
     "cantt": "cantonment", "cant": "cantonment",
