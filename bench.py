@@ -80,7 +80,8 @@ def run_query_suite(sf_dir: str) -> dict:
              "knn_cosine_topk", "embedding_dup_pairs", "simhash_dup_pairs",
              "minhash_dup_pairs", "events_sessionized",
              "asof_signup_attribution", "lang_id_docs",
-             "unshipped_revenue_topk"]
+             "unshipped_revenue_topk", "events_user_windows",
+             "events_value_quantiles", "events_hll_users"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -278,3 +278,96 @@ class TestRollupPivot:
         out = pivot_counts(ray.data.from_arrow(t), "r", "c",
                            ["en"]).to_pandas()
         assert out.iloc[0]["n_en"] == 2 and out.iloc[0]["n_total"] == 3
+
+
+class TestWindowsProperty:
+    """Randomized window/top-k/quantile properties vs DuckDB (hypothesis).
+    Tiny examples, low max_examples — the structure explored is dup
+    timestamps, single-row users, negative values, and skewed groups."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _rows = st.lists(
+        st.tuples(st.integers(0, 3),              # user_id
+                  st.integers(0, 5),              # ts seconds
+                  st.floats(-5, 5, allow_nan=False, width=16)),
+        min_size=1, max_size=25)
+
+    @given(rows=_rows)
+    @settings(max_examples=10, deadline=None)
+    def test_per_key_window_matches_duckdb(self, ray_session, rows):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            per_key_window)
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                           pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        got = _norm(per_key_window(ray.data.from_arrow(tbl),
+                                   n_buckets=4).to_pandas())
+        con = duckdb.connect()
+        con.register("t", tbl.to_pandas())
+        want = _norm(con.execute("""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents,
+  CAST(row_number() OVER w AS BIGINT) AS row_rank
+FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""").fetch_df())
+        assert_frame_equal(got, want, check_dtype=False)
+
+    @given(rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 9)),
+        min_size=1, max_size=25), k=st.integers(1, 4))
+    @settings(max_examples=10, deadline=None)
+    def test_grouped_topk_matches_duckdb(self, ray_session, rows, k):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_topk)
+        tbl = pa.table({"g": [r[0] for r in rows],
+                        "v": pa.array([r[1] for r in rows], pa.int64()),
+                        "id": pa.array(range(len(rows)), pa.int64())})
+        got = _norm(grouped_topk(ray.data.from_arrow(tbl), "g", "v", "id",
+                                 k=k).to_pandas())
+        con = duckdb.connect()
+        con.register("t", tbl.to_pandas())
+        want = _norm(con.execute(f"""
+SELECT g, v, id, rank FROM (
+  SELECT g, v, id,
+    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rank
+  FROM t) WHERE rank <= {k}""").fetch_df())
+        assert_frame_equal(got, want, check_dtype=False)
+
+    @given(rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q"]),
+                  st.floats(-3, 3, allow_nan=False, width=16)),
+        min_size=1, max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def test_grouped_quantiles_inverse_cdf(self, ray_session, rows):
+        """Quantiles equal the pure-numpy inverse-CDF on the same cents."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_quantiles)
+        tbl = pa.table({"event_type": [r[0] for r in rows],
+                        "value": pa.array([r[1] for r in rows],
+                                          pa.float64())})
+        got = grouped_quantiles(ray.data.from_arrow(tbl)) \
+            .to_pandas().set_index("event_type")
+        vals = {}
+        for g, v in rows:
+            c = int(np.floor(np.abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+            vals.setdefault(g, []).append(c)
+        for g, cs in vals.items():
+            cs = np.sort(np.array(cs))
+            n = len(cs)
+            for q, col in [(0.25, "p25_cents"), (0.5, "p50_cents"),
+                           (0.9, "p90_cents")]:
+                want = cs[int(np.ceil(q * n)) - 1]
+                assert got.loc[g, col] == want, (g, col, cs)
+            assert got.loc[g, "n"] == n
