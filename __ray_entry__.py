@@ -537,6 +537,29 @@ def _q_docs_lang_pivot(sf_dir):
     return F_stats.pivot_counts(docs, "source", "lang", _PIVOT_LANGS)
 
 
+_STRAT_K = 10
+
+
+def _q_stratified_sample(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    return F_win.stratified_sample_md5(docs, "lang", "doc_id", _STRAT_K)
+
+
+def _q_lineitem_corr(sf_dir):
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+    return F_win.grouped_corr(li, "l_returnflag", "l_quantity",
+                              "l_discount", y_cents=True, alias="corr_qd")
+
+
+def _q_user_mode_event(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return F_win.grouped_mode(ev, "user_id", "event_type")
+
+
 def _q_events_hll_users(sf_dir):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
@@ -576,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_det": _q_sample_docs_det,
         "docs_rollup": _q_docs_rollup,
         "docs_lang_pivot": _q_docs_lang_pivot,
+        "stratified_sample_docs": _q_stratified_sample,
+        "lineitem_corr_qty_discount": _q_lineitem_corr,
+        "user_mode_event": _q_user_mode_event,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
@@ -931,4 +957,32 @@ FROM s GROUP BY user_id, session_id"""),
                 f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) "
                 f"AS BIGINT) AS n_{l}" for l in _PIVOT_LANGS)
             + ", COUNT(*) AS n_total FROM documents GROUP BY source"),
+        "stratified_sample_docs": (
+            f"SELECT lang, h, doc_id, rank FROM ("
+            f"SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h, doc_id, "
+            f"row_number() OVER (PARTITION BY lang "
+            f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank "
+            f"FROM documents) WHERE rank <= {_STRAT_K}"),
+        "lineitem_corr_qty_discount": (
+            # exact HUGEINT moments -> one double division: bit-identical
+            # to the Ray side's python-int moments (see grouped_corr)
+            "WITH m AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n, "
+            "SUM(CAST(l_quantity AS HUGEINT)) AS sx, "
+            "SUM(CAST(round(l_discount * 100) AS HUGEINT)) AS sy, "
+            "SUM(CAST(l_quantity AS HUGEINT) "
+            "* CAST(round(l_discount * 100) AS HUGEINT)) AS sxy, "
+            "SUM(CAST(l_quantity AS HUGEINT) "
+            "* CAST(l_quantity AS HUGEINT)) AS sxx, "
+            "SUM(CAST(round(l_discount * 100) AS HUGEINT) "
+            "* CAST(round(l_discount * 100) AS HUGEINT)) AS syy "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, CAST(n*sxy - sx*sy AS DOUBLE) "
+            "/ sqrt(CAST(n*sxx - sx*sx AS DOUBLE) "
+            "* CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qd FROM m"),
+        "user_mode_event": (
+            "SELECT user_id, mode, n FROM ("
+            "SELECT user_id, event_type AS mode, COUNT(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY COUNT(*) DESC, event_type) AS rk "
+            "FROM events GROUP BY user_id, event_type) WHERE rk = 1"),
     }

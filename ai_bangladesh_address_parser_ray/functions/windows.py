@@ -325,3 +325,123 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = _HLL_P,
                            zero_copy_batch=True)
             .groupby(group_col)
             .map_groups(_merge, batch_format="pyarrow"))
+
+
+# --------------------------------------------------- stratified sample ----
+
+
+def stratified_sample_md5(ds, group_col: str, key_col: str, k: int):
+    """Deterministic stratified sample: per group, the k rows with the
+    smallest md5(str(key)). The per-group twin of ``sample_topk_md5`` —
+    a uniform, cross-engine-reproducible sample from EVERY stratum (the
+    training-data "balance by language/source" primitive). Rides on
+    ``grouped_topk``'s map-side pruning, so each batch contributes at
+    most k candidate rows per stratum to the shuffle.
+    """
+    import hashlib
+
+    def _h(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].combine_chunks()
+        h = pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                      for v in keys.to_pylist()], pa.string())
+        return batch.append_column("h", h)
+
+    hashed = ds.map_batches(_h, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_topk(hashed, group_col, "h", key_col, k=k,
+                        descending=False)
+
+
+# ------------------------------------------------ grouped correlation ----
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 y_cents: bool = False, alias: str = "corr"):
+    """Pearson correlation per group from EXACT integer moments.
+
+    Single pass: each batch emits int64 partial moments (n, Sx, Sy, Sxx,
+    Syy, Sxy), one groupby sums them, and the final (tiny) stage computes
+    ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`` with
+    Python arbitrary-precision ints up to the last float64 conversion —
+    the same value any SQL engine gets from HUGEINT moments, so the
+    double is BIT-IDENTICAL regardless of row order or partitioning
+    (streaming Welford implementations cannot promise that). x must be
+    integral; y is either integral or money rounded to cents
+    (``y_cents``). int64 is safe per batch; the cross-batch sums ride
+    int64 too — at 10^12-row scale promote the partials to float128/
+    decimal or shard the moments.
+    """
+    from ray.data.aggregate import Sum
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.int64())
+        y = _cents(batch[y_col]) if y_cents \
+            else pc.cast(batch[y_col], pa.int64())
+        xn = x.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(x, pa.ChunkedArray) else x.to_numpy()
+        yn = y.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(y, pa.ChunkedArray) else y.to_numpy()
+        g = batch[group_col]
+        t = pa.table({group_col: g,
+                      "n": pa.array(np.ones(len(xn), np.int64)),
+                      "sx": pa.array(xn), "sy": pa.array(yn),
+                      "sxx": pa.array(xn * xn), "syy": pa.array(yn * yn),
+                      "sxy": pa.array(xn * yn)})
+        agg = t.group_by([group_col]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        return agg.rename_columns(
+            [group_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import math
+        out_g, out_c = [], []
+        for i in range(len(batch)):
+            n, sx, sy, sxx, syy, sxy = (
+                int(batch[c][i].as_py())
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+            num = n * sxy - sx * sy
+            d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+            c = (float(num) / math.sqrt(float(d1) * float(d2))
+                 if d1 > 0 and d2 > 0 else None)
+            out_g.append(batch[group_col][i].as_py())
+            out_c.append(c)
+        return pa.table({group_col: pa.array(out_g),
+                         alias: pa.array(out_c, pa.float64())})
+
+    return (ds.map_batches(_moments, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+            .map_batches(_final, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------- grouped mode ----
+
+
+def grouped_mode(ds, group_col: str, val_col: str, alias: str = "mode"):
+    """Most frequent value per group, ties broken by the SMALLEST value
+    (an explicit total order — SQL ``mode()`` tie behavior is
+    engine-defined, this is not). Map-side (group, value) histogram,
+    then the grouped-top-k machinery picks count-desc/value-asc rank 1.
+    The histogram shuffle carries distinct cells, never rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, val_col]) \
+            .group_by([group_col, val_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, val_col, "n"])
+
+    hist = (ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([group_col, val_col])
+            .aggregate(Sum("n", alias_name="n")))
+    top = grouped_topk(hist, group_col, "n", val_col, k=1)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({group_col: batch[group_col],
+                         alias: batch[val_col],
+                         "n": batch["n"]})
+
+    return top.map_batches(_name, batch_format="pyarrow")

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["events", "documents"]:
+    for t in ["events", "documents", "lineitem"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -371,3 +371,80 @@ SELECT g, v, id, rank FROM (
                 want = cs[int(np.ceil(q * n)) - 1]
                 assert got.loc[g, col] == want, (g, col, cs)
             assert got.loc[g, "n"] == n
+
+
+class TestStratifiedCorrMode:
+    def test_stratified_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            stratified_sample_md5)
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["doc_id", "lang"])
+        _cmp(stratified_sample_md5(docs, "lang", "doc_id", 10), """
+SELECT lang, h, doc_id, rank FROM (
+  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents) WHERE rank <= 10""")
+
+    def test_corr_bit_identical(self, ray_session):
+        """Exact integer moments -> the double equals DuckDB's HUGEINT
+        computation bit for bit, under any partitioning."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_corr)
+        li = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_discount"])
+        got = grouped_corr(li.repartition(9), "l_returnflag", "l_quantity",
+                           "l_discount", y_cents=True, alias="corr_qd") \
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        want = _con().execute("""
+WITH m AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n,
+  SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+  SUM(CAST(round(l_discount*100) AS HUGEINT)) AS sy,
+  SUM(CAST(l_quantity AS HUGEINT)*CAST(round(l_discount*100) AS HUGEINT))
+    AS sxy,
+  SUM(CAST(l_quantity AS HUGEINT)*CAST(l_quantity AS HUGEINT)) AS sxx,
+  SUM(CAST(round(l_discount*100) AS HUGEINT)
+    *CAST(round(l_discount*100) AS HUGEINT)) AS syy
+ FROM lineitem GROUP BY 1)
+SELECT l_returnflag, CAST(n*sxy - sx*sy AS DOUBLE)
+  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+  AS corr_qd FROM m ORDER BY l_returnflag""").fetch_df()
+        assert (got["corr_qd"].values == want["corr_qd"].values).all()
+
+    def test_corr_degenerate_group(self, ray_session):
+        """Constant x in a group -> zero variance -> null, not a crash."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_corr)
+        t = pa.table({"g": ["c", "c", "v", "v", "v"],
+                      "x": pa.array([5, 5, 1, 2, 3], pa.int64()),
+                      "y": pa.array([1, 2, 1, 2, 3], pa.int64())})
+        out = grouped_corr(ray.data.from_arrow(t), "g", "x", "y") \
+            .to_pandas().set_index("g")
+        assert pd.isna(out.loc["c", "corr"])
+        assert abs(out.loc["v", "corr"] - 1.0) < 1e-12
+
+    def test_mode_vs_duckdb_with_ties(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_mode)
+        ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                                   columns=["user_id", "event_type"])
+        _cmp(grouped_mode(ev, "user_id", "event_type"), """
+SELECT user_id, mode, n FROM (
+  SELECT user_id, event_type AS mode, COUNT(*) AS n,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type) WHERE rk = 1""")
+
+    def test_mode_tie_breaks_to_smallest(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            grouped_mode)
+        t = pa.table({"g": ["u"] * 4, "v": ["b", "a", "b", "a"]})
+        out = grouped_mode(ray.data.from_arrow(t).repartition(3),
+                           "g", "v").to_pandas()
+        assert out.iloc[0]["mode"] == "a" and out.iloc[0]["n"] == 2
