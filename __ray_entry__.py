@@ -537,6 +537,15 @@ def _q_docs_lang_pivot(sf_dir):
     return F_stats.pivot_counts(docs, "source", "lang", _PIVOT_LANGS)
 
 
+_TERMS_K = 10
+
+
+def _q_top_terms(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return F_text.top_terms_per_group(docs, k=_TERMS_K)
+
+
 _STRAT_K = 10
 
 
@@ -602,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "lineitem_corr_qty_discount": _q_lineitem_corr,
         "user_mode_event": _q_user_mode_event,
+        "top_terms_per_lang": _q_top_terms,
         # rows-only (stateful / model / iterative — no SQL equivalent)
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
@@ -985,4 +995,14 @@ FROM s GROUP BY user_id, session_id"""),
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY COUNT(*) DESC, event_type) AS rk "
             "FROM events GROUP BY user_id, event_type) WHERE rk = 1"),
+        "top_terms_per_lang": (
+            r"SELECT lang, term, tf, df, rank FROM ("
+            r"SELECT lang, tok AS term, COUNT(*) AS tf, "
+            r"COUNT(DISTINCT doc_id) AS df, "
+            r"row_number() OVER (PARTITION BY lang "
+            r"ORDER BY COUNT(*) DESC, tok) AS rank "
+            r"FROM (SELECT doc_id, lang, "
+            r"unnest(regexp_extract_all(lower(coalesce(text, '')), "
+            r"'\S+')) AS tok FROM documents) GROUP BY lang, tok) "
+            rf"WHERE rank <= {_TERMS_K}"),
     }

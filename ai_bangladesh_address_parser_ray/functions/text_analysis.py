@@ -209,3 +209,54 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
             "fingerprint": pa.array(fps, pa.uint64()),
         })
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms_per_group(ds, text_col: str = "text", group_col: str = "lang",
+                        id_col: str = "doc_id", k: int = 10):
+    """Vocabulary statistics: top-k terms per group by total term
+    frequency, with document frequency — the wordcount that seeds
+    stopword lists / IDF tables for a training corpus.
+
+    Scale shape: each batch tokenizes its documents and pre-aggregates a
+    LOCAL (group, term) -> (tf, df) table with polars (the map-side
+    combine — the shuffle carries vocabulary cells, never token rows).
+    df partials sum exactly because every doc_id lives in exactly one
+    input row, hence one batch. One groupby merges cells, the grouped
+    top-k machinery (map-side pruned) keeps k terms per group.
+    Determinism: ties break on the lexicographically smallest term.
+    Tokenization contract: lowercase + whitespace split — identical to
+    ``token_counts``'s \\S+ and SQL ``regexp_extract_all(lower(t),'\\S+')``.
+    """
+    import polars as pl
+
+    from .windows import grouped_topk
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        d_ids, d_gs, d_toks = [], [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            d_ids.extend([ids[i]] * len(toks))
+            d_gs.extend([groups[i]] * len(toks))
+            d_toks.extend(toks)
+        if not d_toks:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        agg = (pl.DataFrame({group_col: d_gs, "term": d_toks, "_d": d_ids})
+               .group_by([group_col, "term"])
+               .agg(tf=pl.len().cast(pl.Int64),
+                    df=pl.col("_d").n_unique().cast(pl.Int64)))
+        return agg.to_arrow()
+
+    from ray.data.aggregate import Sum
+    vocab = (ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby([group_col, "term"])
+             .aggregate(Sum("tf", alias_name="tf"),
+                        Sum("df", alias_name="df")))
+    return grouped_topk(vocab, group_col, "tf", "term", k=k,
+                        payload=["df"])

@@ -113,7 +113,7 @@ def per_key_window(events_ds, n_buckets: int = 64):
 
 
 def grouped_topk(ds, key: str, order_col: str, tiebreak: str, k: int = 5,
-                 descending: bool = True):
+                 descending: bool = True, payload: list | None = None):
     """Top-k rows per group with a 1-based ``rank`` column.
 
     ``row_number() OVER (PARTITION BY key ORDER BY order_col DESC,
@@ -130,7 +130,8 @@ def grouped_topk(ds, key: str, order_col: str, tiebreak: str, k: int = 5,
             (tiebreak, "ascending")])
 
     def _local_topk(batch: pa.Table) -> pa.Table:
-        batch = _order(batch.select([key, order_col, tiebreak]))
+        batch = _order(batch.select(
+            [key, order_col, tiebreak] + list(payload or [])))
         kv = batch[key].combine_chunks()
         first = np.empty(len(batch), bool)
         if len(batch):

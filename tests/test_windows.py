@@ -448,3 +448,34 @@ SELECT user_id, mode, n FROM (
         out = grouped_mode(ray.data.from_arrow(t).repartition(3),
                            "g", "v").to_pandas()
         assert out.iloc[0]["mode"] == "a" and out.iloc[0]["n"] == 2
+
+
+class TestTopTerms:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            top_terms_per_group)
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "text", "lang"]).repartition(5)
+        _cmp(top_terms_per_group(docs, k=10), r"""
+SELECT lang, term, tf, df, rank FROM (
+  SELECT lang, tok AS term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+    row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok)
+      AS rank
+  FROM (SELECT doc_id, lang,
+        unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS tok
+        FROM documents) GROUP BY lang, tok) WHERE rank <= 10""")
+
+    def test_df_counts_docs_not_occurrences(self, ray_session):
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            top_terms_per_group)
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "lang": ["en", "en"],
+                      "text": ["cat cat cat", "cat dog"]})
+        out = top_terms_per_group(ray.data.from_arrow(t), k=5) \
+            .to_pandas().set_index("term")
+        assert out.loc["cat", "tf"] == 4 and out.loc["cat", "df"] == 2
+        assert out.loc["dog", "tf"] == 1 and out.loc["dog", "df"] == 1
+        assert out.loc["cat", "rank"] == 1
