@@ -414,9 +414,13 @@ def _ensure_city_res():
     # "Mirpur 1, Dhaka-1216": optional small numeric suffix, separators,
     # then a district/division name — the reference's massive
     # before-city-immediate boost (area_processor.py:786-796)
+    # a short parenthetical between the area and the city does not break
+    # the adjacency ("Lalkhan Bazar (Opposite ...), Chattogram"); "Dhaka
+    # Sena Nibas" is the cantonment, not the city terminator
     _CITY_AFTER_RE = re.compile(
-        rf"^(?:\s*-?\s*\d{{1,2}})?\s*[,.]?\s*\(?\s*(?:{city_alt})"
-        rf"(?![A-Za-z])", re.I)
+        rf"^(?:\s*-?\s*\d{{1,2}})?\s*[,.]?\s*"
+        rf"(?:\([^()]{{0,60}}\)\s*[,.]?\s*)?\(?\s*(?:{city_alt})"
+        rf"(?![A-Za-z])(?!\s+Sena\b)", re.I)
     _CANTT_RE = re.compile(
         rf"\b((?:{city_alt})\s+Cant(?:t|onment)?)\b", re.I)
     # a whole comma-segment that IS a city (optionally with postal suffix)
