@@ -175,6 +175,14 @@ def _q_ngram_dups(sf_dir):
         est_threshold=0.3, bands=32, num_partitions=8)
 
 
+def _q_near_dup_clusters(sf_dir):
+    # transitive closure over the exact-verified pair set: the SQL oracle
+    # mirrors it with a recursive min-label-propagation CTE
+    return F_dedup.near_dup_clusters(
+        _read(sf_dir, "documents"), threshold=_JACC_TAU,
+        est_threshold=0.3, bands=32, num_partitions=8)
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 def _q_linkage(sf_dir):
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn,
         "embedding_dup_pairs": _q_embedding_dups,
         "ngram_dup_pairs": _q_ngram_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
         "lang_id_docs": _q_langid,
         "customer_revenue_topk": _q_revenue_topk,
         "events_sessionized": _q_sessionize,
@@ -828,6 +837,28 @@ def oracle_sql() -> dict[str, str]:
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+        # transitive closure of the near-dup pair graph: recursive
+        # min-label propagation over symmetric edges == union-find's
+        # min-node component labels; the pair predicate uses the SAME
+        # double-division arithmetic as the Ray side's exact_jaccard
+        "near_dup_clusters": (
+            _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks") +
+            f""", p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= {_JACC_TAU}),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION ALL SELECT b_id, a_id FROM p),
+walk(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e2.v, w.lbl FROM walk w JOIN e e2 ON w.node = e2.u),
+cc AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+  CAST(CASE WHEN COALESCE(cc.cluster_id, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""),
         "lang_id_docs": _lang_id_sql(),
         "customer_revenue_topk": (
             "SELECT o.o_custkey, "

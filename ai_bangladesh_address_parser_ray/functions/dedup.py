@@ -678,3 +678,69 @@ def _embedding_pairs_lsh(tbl, tau: float, id_col: str, vec_col: str,
     from ray.data.aggregate import Max
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Max("oversized", alias_name="oversized"))
+
+
+# ------------------------------------------------- transitive clustering ----
+
+def near_dup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, est_threshold: float = 0.3,
+                      bands: int = 32, num_partitions: int = 16):
+    """Corpus-scale near-dup CLUSTERING + canonical selection — the full
+    production dedup flow, not just a pair list.
+
+    ``ngram_jaccard_pairs`` (exact above ``threshold``) -> symmetric edge
+    list -> :func:`..stages.unionfind.connected_components` (distributed
+    one-pass union-find / hash-join label propagation) -> labels left-joined
+    back onto the corpus by hash shuffle. Docs in no pair are singletons.
+
+    Returns ``(doc_id, cluster_id, keep)``: ``cluster_id`` is the NUMERIC
+    min doc_id of the transitive component (ids are zero-padded to 12
+    digits before union-find so its lexicographic min IS the numeric min),
+    ``keep=1`` on exactly the canonical row per cluster. Filtering
+    ``keep=1`` yields the deduplicated corpus.
+
+    The reference has no corpus dedup (its memo cache is per-process,
+    ``/root/reference/src/core/extractor.py:129-141``); this is the
+    training-data-pipeline surface at 100-TB shape: every step is a
+    bounded shuffle, the driver never sees the corpus.
+    """
+    from ..stages.unionfind import connected_components
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_pairs(ds, text_col, id_col, threshold=threshold,
+                                est_threshold=est_threshold, bands=bands,
+                                num_partitions=num_partitions)
+
+    def _pad(col):
+        return pc.ascii_lpad(pc.cast(col, pa.string()), 12, "0")
+
+    def _to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": _pad(batch["a_id"]), "v": _pad(batch["b_id"])})
+
+    # materialize the VERIFIED edge list (small: near-dup pairs only, not
+    # the corpus) — connected_components consumes its input three times
+    # (count gate, universe collect, label pass) and would otherwise
+    # re-run the whole shingle->LSH->verify pipeline per consumption
+    edges = pairs.map_batches(_to_edges, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    labels = connected_components(edges, num_partitions=num_partitions)
+
+    def _unpad(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(batch["node_id"], pa.int64()),
+            "_cc_label": pc.cast(batch["cluster_id"], pa.int64())})
+
+    labels = labels.map_batches(_unpad, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = ds.select_columns([id_col]).join(
+        labels, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,))
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        lbl = pc.coalesce(batch["_cc_label"], ids)
+        keep = pc.cast(pc.equal(lbl, ids), pa.int64())
+        return pa.table({id_col: ids, "cluster_id": lbl, "keep": keep})
+
+    return joined.map_batches(_finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -119,6 +119,35 @@ class TestDedup:
         assert len(exp) > 0, "fixture should contain near-dup docs"
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
+    def test_near_dup_clusters_transitive_chain(self, ray_session):
+        """A~B and B~C but A!~C must still land in ONE cluster with the
+        min doc_id canonical; untouched docs are keep=1 singletons."""
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            near_dup_clusters)
+        import ray.data
+        base = "alpha bravo charlie delta echo foxtrot golf hotel " \
+               "india juliet kilo lima mike november oscar papa"
+        toks = base.split()
+        a = " ".join(toks)
+        b = " ".join(toks[:-1] + ["quebec"])        # ~A: high overlap
+        c = " ".join(["zulu"] + toks[1:-1] + ["quebec"])  # ~B, farther from A
+        docs = pd.DataFrame({
+            "doc_id": [7, 3, 11, 42],
+            "text": [a, b, c, "completely different short text"],
+        })
+        out = near_dup_clusters(ray.data.from_pandas(docs), threshold=0.7,
+                                num_partitions=2).to_pandas()
+        out = out.set_index("doc_id")
+        # transitive component {3, 7, 11} labeled by numeric min = 3
+        assert set(out.loc[[3, 7, 11], "cluster_id"]) == {3}
+        assert out.loc[3, "keep"] == 1
+        assert out.loc[7, "keep"] == 0 and out.loc[11, "keep"] == 0
+        # singleton keeps itself
+        assert out.loc[42, "cluster_id"] == 42 and out.loc[42, "keep"] == 1
+        # exactly one keep per cluster, every doc present
+        assert len(out) == 4
+        assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
+
     def test_minhash_pairs_cover_near_dups(self, ray_session, docs_df):
         from ai_bangladesh_address_parser_ray.functions.dedup import (
             minhash_lsh_pairs)
