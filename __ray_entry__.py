@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 
 from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+from ai_bangladesh_address_parser_ray.functions import decontaminate as F_decon
 from ai_bangladesh_address_parser_ray.functions import dedup as F_dedup
 from ai_bangladesh_address_parser_ray.functions import similarity as F_sim
 from ai_bangladesh_address_parser_ray.functions import stats as F_stats
@@ -173,6 +174,30 @@ def _q_ngram_dups(sf_dir):
     return F_dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents"), threshold=_JACC_TAU,
         est_threshold=0.3, bands=32, num_partitions=8)
+
+
+def _q_contamination(sf_dir):
+    # every-50th doc stands in for the (small) benchmark set; the rest is
+    # the training corpus — the split is deterministic so the SQL oracle
+    # can reproduce it with a modulo predicate
+    import pyarrow.compute as pc
+
+    def _part(keep_bench):
+        def _f(batch: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(batch["doc_id"],
+                            pc.multiply(pc.divide(batch["doc_id"], 50), 50)),
+                0)
+            return batch.filter(is_bench if keep_bench
+                                else pc.invert(is_bench))
+        return _f
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.map_batches(_part(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    train = docs.map_batches(_part(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return F_decon.contamination_pairs(train, bench)
 
 
 def _q_near_dup_clusters(sf_dir):
@@ -599,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "ngram_dup_pairs": _q_ngram_dups,
         "near_dup_clusters": _q_near_dup_clusters,
+        "contamination_pairs": _q_contamination,
         "lang_id_docs": _q_langid,
         "customer_revenue_topk": _q_revenue_topk,
         "events_sessionized": _q_sessionize,
@@ -837,6 +863,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+        # distinct word-3-gram overlap between the training split and the
+        # every-50th-doc benchmark split (decontamination evidence pairs)
+        "contamination_pairs": (
+            _SHINGLES_CTE +
+            "SELECT t.doc_id, b.doc_id AS bench_id, "
+            "CAST(len(list_intersect(t.s, b.s)) AS BIGINT) AS n_shared "
+            "FROM sh t, sh b "
+            "WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0 "
+            "AND len(list_intersect(t.s, b.s)) >= 1"),
         # transitive closure of the near-dup pair graph: recursive
         # min-label propagation over symmetric edges == union-find's
         # min-node component labels; the pair predicate uses the SAME

@@ -1,0 +1,75 @@
+"""Benchmark decontamination: flag training docs sharing word n-grams with
+a (small) benchmark/eval set.
+
+The standard LLM-training-data hygiene pass: any training document that
+contains an n-gram also present in an evaluation document is contamination
+and must be dropped before training. The benchmark side is tiny by
+construction (eval sets are thousands of docs, the corpus is billions), so
+the scale-correct shape is a BROADCAST semijoin, not a shuffle:
+
+- build ``{shingle -> [bench_id, ...]}`` from the benchmark Dataset once,
+  ``ray.put`` it (zero-copy read in every task);
+- one ``map_batches`` pass over the training corpus intersects each doc's
+  distinct shingle set with the broadcast index and emits
+  ``(doc_id, bench_id, n_shared)`` — counted locally per doc, so there is
+  NO shuffle at any corpus size.
+
+The reference has no corpus-hygiene surface (closest: the exact memo cache
+``/root/reference/src/core/extractor.py:129-141``); this operator is part
+of the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .hashing import word_shingles
+
+
+def _bench_index(bench_ds, text_col: str, id_col: str, shingle_n: int):
+    """Collect the benchmark side into ``{shingle: np.array(bench_ids)}``.
+
+    ``take_all`` here is deliberate and bounded: the BENCH side is the
+    small side by contract (an eval set), the corpus side streams.
+    """
+    index: dict = {}
+    for row in bench_ds.select_columns([id_col, text_col]).take_all():
+        bid = row[id_col]
+        for s in set(word_shingles(row[text_col] or "", shingle_n)):
+            index.setdefault(s, []).append(bid)
+    return {s: np.unique(ids) for s, ids in index.items()}
+
+
+def contamination_pairs(train_ds, bench_ds, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        min_shared: int = 1):
+    """``(doc_id, bench_id, n_shared)`` for every training doc sharing >=
+    ``min_shared`` distinct word ``shingle_n``-grams with a benchmark doc.
+
+    Filtering the training corpus to ``doc_id NOT IN (select doc_id ...)``
+    is the decontamination step; the pair list keeps the evidence.
+    """
+    index_ref = ray.put(_bench_index(bench_ds, text_col, id_col, shingle_n))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        index = ray.get(index_ref)
+        ids, bids, shared = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            hits: dict = {}
+            for s in set(word_shingles(text or "", shingle_n)):
+                for bid in index.get(s, ()):
+                    hits[bid] = hits.get(bid, 0) + 1
+            for bid, n in hits.items():
+                if n >= min_shared:
+                    ids.append(did)
+                    bids.append(int(bid))
+                    shared.append(n)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bench_id": pa.array(bids, pa.int64()),
+                         "n_shared": pa.array(shared, pa.int64())})
+
+    return train_ds.select_columns([id_col, text_col]).map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True)

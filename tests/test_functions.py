@@ -148,6 +148,32 @@ class TestDedup:
         assert len(out) == 4
         assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
 
+    def test_contamination_pairs_planted(self, ray_session):
+        """A train doc sharing a 3-gram with a bench doc is flagged with the
+        exact distinct-shingle count; clean docs are absent; min_shared
+        raises the bar."""
+        from ai_bangladesh_address_parser_ray.functions.decontaminate import (
+            contamination_pairs)
+        import ray.data
+        bench = pd.DataFrame({
+            "doc_id": [100, 200],
+            "text": ["the quick brown fox jumps", "pack my box with jugs"],
+        })
+        train = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["saw the quick brown fox run",   # shares 2 shingles w/100
+                     "something else pack my box",    # shares 1 shingle w/200
+                     "completely unrelated clean words here"],
+        })
+        out = contamination_pairs(ray.data.from_pandas(train),
+                                  ray.data.from_pandas(bench)).to_pandas()
+        out = out.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+        assert out.values.tolist() == [[1, 100, 2], [2, 200, 1]]
+        strict = contamination_pairs(ray.data.from_pandas(train),
+                                     ray.data.from_pandas(bench),
+                                     min_shared=2).to_pandas()
+        assert strict.values.tolist() == [[1, 100, 2]]
+
     def test_minhash_pairs_cover_near_dups(self, ray_session, docs_df):
         from ai_bangladesh_address_parser_ray.functions.dedup import (
             minhash_lsh_pairs)
