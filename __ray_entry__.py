@@ -200,6 +200,35 @@ def _q_contamination(sf_dir):
     return F_decon.contamination_pairs(train, bench)
 
 
+_QUALITY_TAU = 0.5
+
+
+def _q_training_corpus(sf_dir):
+    # flagship hygiene composition: quality filter -> decontaminate vs the
+    # every-50th-doc benchmark split -> exact dedup keep-min-id
+    from ai_bangladesh_address_parser_ray.pipelines.corpus import (
+        materialize_training_corpus)
+    import pyarrow.compute as pc
+
+    def _part(keep_bench):
+        def _f(batch: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(batch["doc_id"],
+                            pc.multiply(pc.divide(batch["doc_id"], 50), 50)),
+                0)
+            return batch.filter(is_bench if keep_bench
+                                else pc.invert(is_bench))
+        return _f
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.map_batches(_part(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    train = docs.map_batches(_part(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return materialize_training_corpus(train, bench,
+                                       quality_tau=_QUALITY_TAU)
+
+
 def _q_near_dup_clusters(sf_dir):
     # transitive closure over the exact-verified pair set: the SQL oracle
     # mirrors it with a recursive min-label-propagation CTE
@@ -625,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": _q_ngram_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "contamination_pairs": _q_contamination,
+        "training_corpus": _q_training_corpus,
         "lang_id_docs": _q_langid,
         "customer_revenue_topk": _q_revenue_topk,
         "events_sessionized": _q_sessionize,
@@ -863,6 +893,36 @@ def oracle_sql() -> dict[str, str]:
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+        # flagship corpus hygiene: quality >= tau AND no shared 3-gram with
+        # the benchmark split AND min-id representative per distinct text.
+        # quality arithmetic is byte-identical to the quality_docs oracle,
+        # so the >= tau cut selects the same rows bit-for-bit
+        "training_corpus": (
+            _SHINGLES_CTE.rstrip() + r""",
+f AS (SELECT doc_id,
+  length(coalesce(text, '')) AS n_chars,
+  len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_toks,
+  len(regexp_extract_all(coalesce(text, ''), '[.,!?;:]')) AS n_punct,
+  len(regexp_extract_all(lower(coalesce(text, '')), '""" + _STOP_PAT +
+            r"""')) AS n_stop
+  FROM documents),
+r AS (SELECT doc_id, n_toks,
+  CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS pr,
+  CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) AS sr FROM f),
+q AS (SELECT doc_id, n_toks AS n_tokens,
+  (least(n_toks / 100.0, 1.0) * 0.4) + ((1.0 - pr) * 0.3)
+  + (least(sr * 5.0, 1.0) * 0.3) AS quality FROM r),
+cont AS (SELECT DISTINCT t.doc_id FROM sh t, sh b
+  WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+  AND len(list_intersect(t.s, b.s)) >= 1),
+base AS (SELECT d.doc_id, d.lang, coalesce(d.text, '') AS t_key,
+  q.n_tokens, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE d.doc_id % 50 <> 0 AND q.quality >= """ + str(_QUALITY_TAU) + r"""
+  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+ded AS (SELECT *, row_number() OVER
+  (PARTITION BY t_key ORDER BY doc_id) AS rn FROM base)
+SELECT doc_id, lang, n_tokens, quality FROM ded WHERE rn = 1"""),
         # distinct word-3-gram overlap between the training split and the
         # every-50th-doc benchmark split (decontamination evidence pairs)
         "contamination_pairs": (

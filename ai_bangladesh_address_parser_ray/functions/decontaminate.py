@@ -73,3 +73,33 @@ def contamination_pairs(train_ds, bench_ds, text_col: str = "text",
 
     return train_ds.select_columns([id_col, text_col]).map_batches(
         _scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(train_ds, bench_ds, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  min_shared: int = 1):
+    """Drop every training row sharing >= ``min_shared`` distinct word
+    n-grams with any benchmark doc (the filter twin of
+    :func:`contamination_pairs` — same broadcast index, no shuffle,
+    columns pass through untouched)."""
+    index_ref = ray.put(_bench_index(bench_ds, text_col, id_col, shingle_n))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        index = ray.get(index_ref)
+        mask = []
+        for text in batch[text_col].to_pylist():
+            hits: dict = {}
+            dirty = False
+            for s in set(word_shingles(text or "", shingle_n)):
+                for bid in index.get(s, ()):
+                    hits[bid] = hits.get(bid, 0) + 1
+                    if hits[bid] >= min_shared:
+                        dirty = True
+                        break
+                if dirty:
+                    break
+            mask.append(not dirty)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return train_ds.map_batches(_keep, batch_format="pyarrow",
+                                zero_copy_batch=True)

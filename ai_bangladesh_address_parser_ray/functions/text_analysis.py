@@ -38,13 +38,18 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                   passthrough: tuple = ()):
     """-> per-doc quality features + composite score.
 
     score = 0.4*len_score + 0.3*(1-punct_ratio) + 0.3*stopword_presence
     where len_score = min(n_tokens/100, 1). All arithmetic in float64 in a
     fixed operation order so the DuckDB oracle (same expression, same
     order) produces bit-identical doubles — no rounding needed.
+
+    ``passthrough`` columns are carried into the output unchanged so a
+    downstream filter (e.g. corpus materialization) does not need a join
+    to recover the text/metadata it scores on.
     """
     def _f(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch[text_col], "")
@@ -64,14 +69,17 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
                    pc.multiply(pc.subtract(1.0, punct_ratio), 0.3)),
             pc.multiply(pc.min_element_wise(
                 pc.multiply(stop_ratio, 5.0), 1.0), 0.3))
-        return pa.table({
+        cols = {
             id_col: batch[id_col],
             "n_chars_c": pc.cast(n_chars, pa.int64()),
             "n_tokens": pc.cast(n_tokens, pa.int64()),
             "punct_ratio": punct_ratio,
             "stopword_ratio": stop_ratio,
             "quality": score,
-        })
+        }
+        for c in passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 

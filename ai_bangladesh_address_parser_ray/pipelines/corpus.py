@@ -1,0 +1,54 @@
+"""Training-corpus materialization — the end-to-end hygiene pipeline a
+training-data user runs before every pretraining job:
+
+    quality filter -> benchmark decontamination -> exact dedup (keep the
+    min-id representative per distinct text)
+
+Each stage is the scale shape established elsewhere in the package:
+vectorized Arrow quality kernels (``functions/text_analysis.py``), a
+broadcast shingle-index semijoin for decontamination (no shuffle,
+``functions/decontaminate.py``), and a hash-before-shuffle dedup whose
+groupby moves 32-byte keys plus one winners join
+(``functions/dedup.py``). The corpus streams through every stage; the only
+driver-resident object is the benchmark shingle index.
+
+The reference has no corpus surface at all (it is a per-address parser);
+this pipeline is the training-data-pipeline mandate's flagship
+composition.
+"""
+
+from __future__ import annotations
+
+from ..functions.decontaminate import decontaminate
+from ..functions.dedup import distinct_rows
+from ..functions.text_analysis import quality_scores
+
+
+def materialize_training_corpus(docs, bench, quality_tau: float = 0.5,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                keep_cols: tuple = ("lang",),
+                                shingle_n: int = 3):
+    """-> Dataset[(doc_id, *keep_cols, n_tokens, quality)] of retained docs.
+
+    Retained = quality >= ``quality_tau`` AND no word ``shingle_n``-gram
+    shared with ``bench`` AND the minimum-id representative of its exact
+    text duplicate group (computed over the already-filtered set, so a
+    high-quality duplicate of a dropped low-quality doc survives).
+    """
+    import pyarrow.compute as pc
+
+    scored = quality_scores(docs, text_col=text_col, id_col=id_col,
+                            passthrough=(text_col,) + tuple(keep_cols))
+
+    def _qfilter(batch):
+        return batch.filter(
+            pc.greater_equal(batch["quality"], quality_tau))
+
+    kept = scored.map_batches(_qfilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    clean = decontaminate(kept, bench, text_col=text_col, id_col=id_col,
+                          shingle_n=shingle_n)
+    deduped = distinct_rows(clean, text_col=text_col, id_col=id_col)
+    return deduped.select_columns(
+        [id_col] + list(keep_cols) + ["n_tokens", "quality"])

@@ -78,7 +78,8 @@ def run_query_suite(sf_dir: str) -> dict:
     picks = ["exact_dedup_docs", "token_counts_docs", "quality_docs",
              "doc_stats_by_lang", "lineitem_pricing", "normalize_docs",
              "knn_cosine_topk", "embedding_dup_pairs", "simhash_dup_pairs",
-             "minhash_dup_pairs", "near_dup_clusters", "events_sessionized",
+             "minhash_dup_pairs", "near_dup_clusters", "training_corpus",
+             "events_sessionized",
              "asof_signup_attribution", "lang_id_docs",
              "unshipped_revenue_topk", "events_user_windows",
              "events_value_quantiles", "events_hll_users"]

@@ -174,6 +174,32 @@ class TestDedup:
                                      min_shared=2).to_pandas()
         assert strict.values.tolist() == [[1, 100, 2]]
 
+    def test_training_corpus_pipeline_planted(self, ray_session):
+        """Each hygiene stage drops exactly its target: the low-quality doc,
+        the contaminated doc, and the higher-id exact duplicate."""
+        from ai_bangladesh_address_parser_ray.pipelines.corpus import (
+            materialize_training_corpus)
+        import ray.data
+        good = ("the cat and the dog walked to the park in the morning "
+                "and it was a fine day for everyone involved, truly.") * 2
+        bench = pd.DataFrame({"doc_id": [900],
+                              "text": ["unique benchmark marker phrase"],
+                              "lang": ["en"]})
+        train = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [good,
+                     good,                                # exact dup of 1
+                     good + " unique benchmark marker phrase",  # contaminated
+                     "!!! ??? ;;; ,,,"],                  # low quality
+            "lang": ["en"] * 4,
+        })
+        out = materialize_training_corpus(
+            ray.data.from_pandas(train), ray.data.from_pandas(bench),
+            quality_tau=0.5).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert set(out.columns) == {"doc_id", "lang", "n_tokens", "quality"}
+        assert (out["quality"] >= 0.5).all()
+
     def test_minhash_pairs_cover_near_dups(self, ray_session, docs_df):
         from ai_bangladesh_address_parser_ray.functions.dedup import (
             minhash_lsh_pairs)
