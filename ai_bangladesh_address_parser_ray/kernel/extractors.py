@@ -350,6 +350,12 @@ _AREA_NUM_AFTER = re.compile(r"\s*(?:Sector\s+)?-?\s?\d{1,2}(?!\d)")
 _DIR_BEFORE_RE = re.compile(
     r"\b(?:north|south|east|west|middle|uttar|dakshin|purbo|paschim|"
     r"moddho|uttor|dokkhin)\s*$", re.I)
+# "Thana: Gandaria" / "P.S. Double Mooring": the name after the marker is
+# the police precinct, an administrative tag — the labeled area is usually
+# a DIFFERENT segment (the reference's exclusion predicates demote
+# administrative context, area_processor.py:1040-1080)
+_THANA_BEFORE_RE = re.compile(
+    r"\b(?:thana|p\.?s\.?|police\s+station)\s*[:.\-]?\s*$", re.I)
 _THANA_RE = re.compile(
     r"\b(?:Thana|PS|P\.S\.)\s+([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2})\b|"
     r"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,2}\s+Thana)\b")
@@ -461,6 +467,10 @@ def extract_area(text: str) -> Hit:
             s += 0.05
         if _DIR_BEFORE_RE.search(text[max(0, m_start - 10):m_start]):
             s += 0.08
+        if _THANA_BEFORE_RE.search(text[max(0, m_start - 18):m_start]):
+            s -= 0.45          # administrative precinct tag, not the area
+            # (outweighs the before-city boost: "Thana: Khulshi,
+            # Chattogram" names the precinct, the area sits elsewhere)
         if _AREA_NUM_AFTER.match(text[m_end:m_end + 12]):
             s += 0.08          # "Mirpur 10" / "Uttara Sector 12" (Factor 5)
         cands.append((s, m_start, surface))
@@ -478,7 +488,12 @@ def extract_area(text: str) -> Hit:
     if m:
         g = m.group(1) or m.group(2)
         if not _UNKNOWN_VETO.search(re.sub(r"\bthana\b", "", g, flags=re.I)):
-            cands.append((0.66, m.start(), _area_title(g)))
+            # "Thana X" (marker first) names the precinct — keep it only as
+            # a floor BELOW the gazetteer base so any known area elsewhere
+            # in the string outranks it; "X Thana" (name first) is the
+            # locality usage and keeps the stronger score
+            s_thana = 0.60 if m.group(1) else 0.66
+            cands.append((s_thana, m.start(), _area_title(g)))
     m = _RESA_RE.search(text)
     if m and not _UNKNOWN_VETO.search(m.group(1)):
         cands.append((0.66, m.start(1), _area_title(m.group(1))))
