@@ -188,10 +188,12 @@ def extract_house(text: str) -> Hit:
 # post-normalization as Road/Lane/Lane, so the Latin bank covers them; Goli
 # appears verbatim when written in Latin script ("Nasir Goli").
 #
-# Priority order reconstructed from the reference's labeled corpus: a NAMED
-# lane/avenue/road beats a NUMBERED road ("Nuria Madrasha Road, Road-4" is
-# labeled Nuria Madrasha Road), lanes beat roads ("Road 1, Lane 2" ->
-# Lane 2), avenues beat roads ("Road 12, Avenue 6" -> Avenue 6).
+# Priority order reconstructed from the reference's labeled corpus: lanes
+# beat roads ("Road 1, Lane 2" -> Lane 2), avenues beat roads ("Road 12,
+# Avenue 6" -> Avenue 6); between road forms the EXPLICIT numbered marker
+# beats a named segment when both appear ("House 100, Road No. 8, O R
+# Nizam Road" is labeled Road No. 8 — corpus prefers the marker 7:2), and
+# a named segment beats the residual numbered forms otherwise.
 _ROAD_NO = r"(?:(?:No|Number|Num)\.?\s*[-–]?\s*){0,2}"
 _LANE_NUM = re.compile(rf"\bLane\s*{_ROAD_NO}[-–]?\s*(\d+[A-Za-z]?)\b", re.I)
 _LANE_ORD = re.compile(r"\b(\d+(?:st|nd|rd|th)\s+(?:Lane|Len))\b", re.I)
@@ -264,13 +266,20 @@ def extract_road(text: str) -> Hit:
     named = _named_segments(text, {"avenue"})
     if named:
         return named, 0.87
-    # 3. named road segment ("Nuria Madrasha Road", "Mirpur Rd")
+    # 3. explicit numbered marker BEFORE named segments: when both
+    # "Road No. 8" and a named road ("O R Nizam Road") appear, the
+    # marker is the addressee's road and the name is the through-road
+    # (labeled corpus prefers the marker 7:2)
+    m = _ROAD_NUM[0][0].search(text)
+    if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+        return m.group(1), _ROAD_NUM[0][1]
+    # 4. named road segment ("Nuria Madrasha Road", "Mirpur Rd")
     named = _named_segments(text, {"road", "rd", "sarani", "sarak",
                                    "shoroni", "sharani", "soroni"})
     if named:
         return named, 0.86
-    # 4. numbered road forms
-    for rx, conf in _ROAD_NUM:
+    # 5. remaining numbered road forms
+    for rx, conf in _ROAD_NUM[1:]:
         m = rx.search(text)
         if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
             return m.group(1), conf
