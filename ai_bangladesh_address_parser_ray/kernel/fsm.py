@@ -25,7 +25,10 @@ _ROAD = [
     re.compile(r"\bR\s+(\d+)", re.I),
 ]
 _POSTAL = re.compile(r"\b(\d{4})\b")
-_FLAT = re.compile(r"Flat\s+(\w+)", re.I)
+# skip the "No"/"Number" marker token so "Flat No- A 5" yields the value,
+# not the literal word "No" (the \w+ twin otherwise surfaces the marker as
+# a false-positive flat when the richer regex bank found nothing)
+_FLAT = re.compile(r"Flat\s+(?:(?:No|Number|Num)\W{0,2}\s*)?(\w+)", re.I)
 _FLOOR = re.compile(r"Floor\s+(\d+)", re.I)
 _BLOCK = re.compile(r"Block\s+([A-Z0-9]+)")
 
