@@ -87,6 +87,11 @@ _HOUSE_COMPOUND = r"\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3}"
 # the reference corpus): outranks the keyword bank — tried ABOVE it
 _HOUSE_LEAD_COMPOUND = re.compile(
     rf"^\s*({_HOUSE_COMPOUND})\s*[, ]")
+# leading number-dash-NAME holding id, gated on a following building word
+# ("125-Ramna Tower", "63-Dewan Bari")
+_HOUSE_LEAD_DASHNAME = re.compile(
+    r"^\s*(\d{1,3}-[A-Z][a-z]{3,})\s+"
+    r"(?:Tower|Bari|Bhaban|Bhavan|Villa|Manjil|Mansion|Complex|Plaza)\b")
 _HOUSE_POSITIONAL = [
     # leading positional: "105/A, Central Road ...", "25A Dilu Road"
     (re.compile(r"^\s*(\d{1,4}[A-Za-z]?"
@@ -149,6 +154,12 @@ def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
 
 def extract_house(text: str) -> Hit:
     n = len(text) or 1
+    # leading "125-Ramna Tower" / "63-Dewan Bari": number-dash-name is the
+    # holding id when a building word follows (labeled corpus keeps the
+    # dash-name, not just the number)
+    m = _HOUSE_LEAD_DASHNAME.match(text)
+    if m:
+        return m.group(1), 0.90
     # leading slash/dash compound outranks the keyword bank (reference
     # corpus labels "1152/C Greenhouse, House# 45" as 1152/C)
     m = _HOUSE_LEAD_COMPOUND.search(text)
