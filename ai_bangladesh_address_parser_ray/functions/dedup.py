@@ -69,11 +69,26 @@ def _rename(ds, mapping: dict):
 
 
 def distinct_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep only the representative row per distinct text (inner join of the
-    winners table back to the input — the standard dedup materializer)."""
-    winners = exact_dedup(ds, text_col, id_col).select_columns(["rep_id"])
-    winners = _rename(winners, {"rep_id": id_col})
-    return ds.join(winners, join_type="inner", num_partitions=16, on=(id_col,))
+    """Keep only the minimum-id representative row per distinct text.
+
+    One groupby(md5) shuffle with a keep-first map_groups — strictly
+    cheaper than the winners-join formulation (an inner join re-shuffles
+    the full row side anyway, plus the winners exchange), and it avoids
+    joining against aggregate output, whose empty partitions surface as
+    schema-less blocks that Ray 2.49's hash-join finalize cannot key
+    (observed when a heavily-filtered corpus leaves sparse winners)."""
+    import pyarrow.compute as pc
+
+    hashed = add_text_hash(ds, text_col)
+
+    def _keep_min(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["text_hash"])
+        order = pc.sort_indices(group[id_col])
+        return group.take(order[:1]).drop_columns(["text_hash"])
+
+    return hashed.groupby("text_hash").map_groups(
+        _keep_min, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash ----
