@@ -148,6 +148,26 @@ class TestDedup:
         assert len(out) == 4
         assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
 
+    def test_distinct_rows_sparse_after_heavy_filter(self, ray_session):
+        """Regression: a heavily-filtered corpus (most blocks empty, few
+        survivors) must still dedup — the old winners-join formulation
+        crashed on Ray 2.49's schema-less empty aggregate partitions."""
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            distinct_rows)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        df = pd.DataFrame({"doc_id": range(4900),
+                           "text": [f"t{i % 20}" for i in range(4900)]})
+        ds = ray.data.from_pandas(df).repartition(40)
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 23)),
+            batch_format="pyarrow")
+        out = distinct_rows(ds).to_pandas().sort_values("doc_id")
+        # 23 survivors over 20 distinct texts -> 20 min-id representatives
+        assert out["doc_id"].tolist() == list(range(20))
+        assert set(out.columns) == {"doc_id", "text"}
+
     def test_contamination_pairs_planted(self, ray_session):
         """A train doc sharing a 3-gram with a bench doc is flagged with the
         exact distinct-shingle count; clean docs are absent; min_shared
