@@ -25,9 +25,8 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
-from .hashing import (band_keys, estimate_jaccard, exact_jaccard,
-                      hamming64, md5_hex, minhash_signature,
-                      simhash64, simhash_band_values, word_shingles)
+from .hashing import (estimate_jaccard, md5_hex, minhash_params, mix64,
+                      simhash64, simhash_band_values, token_ngram_hashes)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -118,30 +117,76 @@ def _add_hash_bucket(key_col: str, num_buckets: int):
     return _f
 
 
+def _token_hashes_batch(text_col_arr):
+    """Flat uint64 token-hash array + per-doc offsets for a batch's text
+    column — ALL vectorized: Arrow lower/split_whitespace, ONE polars
+    xxhash call over every token in the batch. The shared front end of
+    minhash banding and exact shingle-set building (same hash basis)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(text_col_arr, "")))
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    flat = la.flatten()
+    th = (pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+          if len(flat) else np.empty(0, np.uint64))
+    # a sliced list array's offsets need not start at 0
+    return th, offsets - offsets[0]
+
+
 def _minhash_bands_batch(batch: pa.Table, text_col, id_col, num_hashes,
                          bands, shingle_n) -> pa.Table:
     """Task: text -> MinHash signature -> one row per LSH band key.
 
-    Stateless on purpose (the hash family is a module-level cache compiled
-    on first use per worker process) so this runs as a plain task pool —
-    no actor-pool CPU reservation to starve shuffle aggregators. Emits
-    (band_key, id, signature); the signature rides along so bucket
-    verification needs no join back to the texts.
+    Fully vectorized (the round-3 version looped docs in Python with 32
+    blake2b calls + a sig.tolist() per doc — the measured hot spot of every
+    minhash-family query): tokenize+hash via ``_token_hashes_batch``,
+    shingle hashes via ``token_ngram_hashes``, all signatures at once with
+    per-hash-function ``np.minimum.reduceat`` over the doc segments, and
+    uint64 splitmix64 band keys. Stateless on purpose (the hash family is a
+    module-level cache per worker process) so this runs as a plain task
+    pool — no actor-pool CPU reservation to starve shuffle aggregators.
+    Emits (band_key: uint64, id, signature); the signature rides along so
+    bucket verification needs no join back to the texts.
     """
-    texts = batch[text_col].to_pylist()
-    ids = batch[id_col].to_pylist()
-    out_key, out_id, out_sig = [], [], []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(word_shingles(t or "", shingle_n), num_hashes)
-        for k in band_keys(sig, bands):
-            out_key.append(k)
-            out_id.append(ids[i])
-            out_sig.append(sig)
+    n = batch.num_rows
+    th, toffs = _token_hashes_batch(batch[text_col])
+    sh, soffs = token_ngram_hashes(th, toffs, shingle_n)
+    a, b = minhash_params(num_hashes)
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, np.uint64)
+    seg_lens = np.diff(soffs)
+    ne = seg_lens > 0               # docs with >=1 shingle
+    if sh.size:
+        # non-empty segments tile the flat array contiguously, so reduceat
+        # over their starts is an exact per-doc segmented minimum
+        starts = soffs[:-1][ne]
+        with np.errstate(over="ignore"):
+            for j in range(num_hashes):
+                sig[ne, j] = np.minimum.reduceat(a[j] * sh + b[j], starts)
+    # band keys: mix the band's r signature rows + the band index
+    r = num_hashes // bands
+    sb = sig.reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = sb[:, :, 0] * np.uint64(0x9E3779B97F4A7C15)
+        for j in range(1, r):
+            acc = mix64(acc ^ (sb[:, :, j] *
+                               np.uint64(0xC2B2AE3D27D4EB4F)))
+        key = mix64(acc ^ (np.arange(bands, dtype=np.uint64)[None, :] *
+                           np.uint64(0x165667B19E3779F9)))
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    sig_rep = np.repeat(sig, bands, axis=0)
+    sig_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n * bands + 1) * num_hashes, num_hashes,
+                           dtype=np.int64), pa.int32()),
+        pa.array(sig_rep.ravel(), pa.uint64()))
     return pa.table({
-        "band_key": pa.array(out_key, pa.string()),
-        id_col: pa.array(out_id),
-        _SIG_COL: pa.array([s.tolist() for s in out_sig],
-                           pa.list_(pa.uint64())),
+        "band_key": pa.array(key.ravel(), pa.uint64()),
+        id_col: ids.take(idx),
+        _SIG_COL: sig_col,
     })
 
 
@@ -372,34 +417,126 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         Max("oversized", alias_name="oversized"))
 
 
+def _shingle_hash_sets(ds, text_col: str, id_col: str, shingle_n: int):
+    """(id, _sh: binary): each doc's SORTED UNIQUE shingle-hash set as a raw
+    little-endian uint64 blob, computed ONCE per document (the round-3 code
+    re-shingled both texts per candidate PAIR). Same vectorized token-hash
+    basis as the minhash banding stage; 64-bit hashes make collision odds
+    over a pair's union ~|U|^2/2^65, so distinct-hash counts equal
+    distinct-shingle counts and the Jaccard computed from these sets is the
+    exact string Jaccard. Binary (not list<uint64>) because Acero's hash
+    join rejects list-typed payload columns; ``np.frombuffer`` decodes it
+    zero-copy on the verify side."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        th, toffs = _token_hashes_batch(batch[text_col])
+        sh, soffs = token_ngram_hashes(th, toffs, shingle_n)
+        blobs = [np.unique(sh[soffs[i]:soffs[i + 1]]).tobytes()
+                 for i in range(batch.num_rows)]
+        return pa.table({id_col: batch[id_col],
+                         "_sh": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pair_jaccards(sa_list, sb_list, threshold: float):
+    """Exact Jaccard per (sorted-unique uint64 set) pair + keep mask.
+    int/int division: bit-identical to the SQL oracle, no rounding."""
+    n = len(sa_list)
+    jac = np.empty(n, np.float64)
+    for i in range(n):
+        sa, sb = sa_list[i], sb_list[i]
+        if not len(sa) and not len(sb):
+            jac[i] = 1.0
+            continue
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 0.0
+    return jac
+
+
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, shingle_n: int = 3,
                         est_threshold: float = 0.35, bands: int = 32,
-                        num_partitions: int = 16):
-    """Exact n-gram-Jaccard near-dups: LSH candidates -> join both texts back
-    by id -> exact verification -> filter(threshold).
+                        num_partitions: int = 16,
+                        broadcast_limit: int = 1_000_000):
+    """Exact n-gram-Jaccard near-dups: LSH candidates -> attach both docs'
+    PRECOMPUTED shingle-hash sets -> exact set verification ->
+    filter(threshold).
 
-    Two hash joins ship only candidate-pair texts, never the full cross
-    product. Default bands=32 x r=2 makes LSH recall effectively exact above
-    the verify threshold (P[miss @ J=0.8] ~ 1e-14), so the output equals the
+    Each doc is shingled once (``_shingle_hash_sets``) instead of once per
+    candidate pair (the round-3 hot spot: verify re-split both texts per
+    pair); the verifier is a sorted-uint64 intersect per pair. Two physical
+    strategies for attaching the sets, gated on corpus row count (the same
+    broadcast/shuffle gate as ``embedding_cosine_pairs``):
+
+    - **broadcast** (N <= broadcast_limit, integer ids): the (id, set)
+      table — hashes only, never text — is packed into three flat numpy
+      arrays (sorted ids, offsets, values), ``ray.put`` once, and every
+      verify batch does zero-copy plasma reads + ``searchsorted`` lookups.
+      No join shuffle at all. ~60 bytes x 8/token per doc: 1M docs ~ 0.4 GB.
+    - **hash join** (above the gate): two inner joins ship only candidate
+      docs' hash-set blobs, never text and never the cross product.
+
+    Default bands=32 x r=2 makes LSH recall effectively exact above the
+    verify threshold (P[miss @ J=0.8] ~ 1e-14), so the output equals the
     all-pairs oracle.
     """
     cand = minhash_lsh_pairs(ds, text_col, id_col, bands=bands,
                              est_threshold=est_threshold)
-    docs = ds.select_columns([id_col, text_col])
-    left = _rename(docs, {id_col: "a_id", text_col: "_a_text"})
-    right = _rename(docs, {id_col: "b_id", text_col: "_b_text"})
+    sets = _shingle_hash_sets(ds, text_col, id_col, shingle_n)
+
+    n_docs = ds.count()
+    if n_docs <= broadcast_limit:
+        tbl = pa.concat_tables(
+            sets.iter_batches(batch_format="pyarrow", batch_size=8192))
+        ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            order = np.argsort(ids, kind="stable")
+            blobs = tbl["_sh"].combine_chunks().to_pylist()
+            lens = np.array([len(blobs[i]) // 8 for i in order], np.int64)
+            offs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            vals = np.frombuffer(
+                b"".join(blobs[i] for i in order), np.uint64)
+            ids_ref = ray.put(ids[order])
+            offs_ref = ray.put(offs)
+            vals_ref = ray.put(vals)
+
+            def _verify_bcast(batch: pa.Table) -> pa.Table:
+                sids = ray.get(ids_ref)
+                soffs = ray.get(offs_ref)
+                svals = ray.get(vals_ref)
+                a = batch["a_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                b = batch["b_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                ai = np.searchsorted(sids, a)
+                bi = np.searchsorted(sids, b)
+                jac = _pair_jaccards(
+                    [svals[soffs[j]:soffs[j + 1]] for j in ai],
+                    [svals[soffs[j]:soffs[j + 1]] for j in bi], threshold)
+                out = batch.select(["a_id", "b_id"]).append_column(
+                    "jaccard", pa.array(jac, pa.float64()))
+                return out.filter(
+                    pa.compute.greater_equal(out["jaccard"], threshold))
+
+            return cand.map_batches(_verify_bcast, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    left = _rename(sets, {id_col: "a_id", "_sh": "_a_sh"})
+    right = _rename(sets, {id_col: "b_id", "_sh": "_b_sh"})
     j = cand.join(left, join_type="inner", num_partitions=num_partitions,
                   on=("a_id",))
     j = j.join(right, join_type="inner", num_partitions=num_partitions,
                on=("b_id",))
 
     def _verify(batch: pa.Table) -> pa.Table:
-        a = batch["_a_text"].to_pylist()
-        b = batch["_b_text"].to_pylist()
-        # int/int division: bit-identical to the SQL oracle, no rounding
-        jac = [exact_jaccard(x or "", y or "", shingle_n)
-               for x, y in zip(a, b)]
+        a_blobs = batch["_a_sh"].to_pylist()
+        b_blobs = batch["_b_sh"].to_pylist()
+        jac = _pair_jaccards(
+            [np.frombuffer(x or b"", np.uint64) for x in a_blobs],
+            [np.frombuffer(x or b"", np.uint64) for x in b_blobs], threshold)
         out = batch.select(["a_id", "b_id"]).append_column(
             "jaccard", pa.array(jac, pa.float64()))
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
@@ -738,6 +875,7 @@ def near_dup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
     # re-run the whole shingle->LSH->verify pipeline per consumption
     edges = pairs.map_batches(_to_edges, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+    n_edges = edges.count()
     labels = connected_components(edges, num_partitions=num_partitions)
 
     def _unpad(batch: pa.Table) -> pa.Table:
@@ -747,6 +885,41 @@ def near_dup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
 
     labels = labels.map_batches(_unpad, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+    if n_edges <= 2_000_000:
+        # labels cover near-dup docs only (<= 2 x edges nodes): broadcast
+        # the sorted (id, label) arrays once and attach by searchsorted —
+        # no join shuffle over the corpus, which streams untouched
+        lab = pa.concat_tables(
+            labels.iter_batches(batch_format="pyarrow", batch_size=65536))
+        lids = lab[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
+            if lab.num_rows else np.empty(0, np.int64)
+        llab = lab["_cc_label"].combine_chunks().to_numpy(
+            zero_copy_only=False) if lab.num_rows else np.empty(0, np.int64)
+        order = np.argsort(lids, kind="stable")
+        lids_ref = ray.put(lids[order])
+        llab_ref = ray.put(llab[order])
+
+        def _label_bcast(batch: pa.Table) -> pa.Table:
+            sids = ray.get(lids_ref)
+            slab = ray.get(llab_ref)
+            ids = batch[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            if len(sids):
+                pos = np.minimum(np.searchsorted(sids, ids), len(sids) - 1)
+                hit = sids[pos] == ids
+                lbl = np.where(hit, slab[pos], ids)
+            else:
+                lbl = ids
+            return pa.table({
+                id_col: batch[id_col],
+                "cluster_id": pa.array(lbl, pa.int64()),
+                "keep": pa.array((lbl == ids).astype(np.int64), pa.int64()),
+            })
+
+        return ds.select_columns([id_col]).map_batches(
+            _label_bcast, batch_format="pyarrow", zero_copy_batch=True)
+
     joined = ds.select_columns([id_col]).join(
         labels, join_type="left_outer", num_partitions=num_partitions,
         on=(id_col,))

@@ -70,6 +70,73 @@ def minhash_signature(shingles, num_hashes: int = 64) -> np.ndarray:
     return m.min(axis=1)
 
 
+_MIX_P = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+          np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5))
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (public constant-set
+    mixer; avalanche-quality keys from structured inputs)."""
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def token_ngram_hashes(th: np.ndarray, offsets: np.ndarray, n: int = 3):
+    """Word-n-gram shingle hashes from PRE-HASHED tokens — no shingle
+    strings are ever built (the vectorized twin of ``word_shingles`` +
+    ``shingle_hash_array``).
+
+    ``th`` is the flat uint64 token-hash array of a batch, ``offsets`` the
+    per-document [start, end) bounds into it. A document's shingle hash at
+    position p is ``mix64(sum_j th[p+j] * P_j)``; documents with
+    0 < m < n tokens yield ONE hash over their m tokens (mirroring
+    ``word_shingles``'s single joined shingle), empty documents yield none.
+    Distinct-hash counts equal distinct-shingle-string counts up to 2^-64
+    collisions (tokens cannot contain the join separator, so the
+    triple -> string map is injective).
+
+    Returns (values, out_offsets): flat uint64 hashes + per-doc bounds.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    th = np.asarray(th, np.uint64)
+    lens = np.diff(offsets)
+    out_lens = np.where(lens == 0, 0, np.maximum(lens - (n - 1), 1))
+    out_offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), out_offs
+    T = len(th)
+    with np.errstate(over="ignore"):
+        v_full = th[:max(T - (n - 1), 0)] * _MIX_P[0]
+        for j in range(1, n):
+            v_full = v_full + th[j:T - (n - 1) + j] * _MIX_P[j]
+    # ragged gather: output position k of doc d reads v_full[start_d + r]
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1],
+                                                         out_lens)
+    src = np.repeat(offsets[:-1], out_lens) + intra
+    vals = v_full[np.minimum(src, max(len(v_full) - 1, 0))]
+    # overwrite the (rare) short docs: one combined hash over m < n tokens
+    short = np.flatnonzero((lens > 0) & (lens < n))
+    for d in short:
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for j in range(int(lens[d])):
+                acc = acc + th[offsets[d] + j] * _MIX_P[j]
+        vals[out_offs[d]] = acc
+    return mix64(vals), out_offs
+
+
+def minhash_params(num_hashes: int):
+    """Public accessor for the fixed-seed universal-hash family (a, b)."""
+    if num_hashes not in _MH_CACHE:
+        _MH_CACHE[num_hashes] = _minhash_params(num_hashes)
+    return _MH_CACHE[num_hashes]
+
+
 def band_keys(sig: np.ndarray, bands: int, prefix: str = "mh") -> list:
     """Split a signature into ``bands`` row-groups -> one key per band."""
     r = len(sig) // bands

@@ -40,6 +40,30 @@ BROADCAST_LABEL_LIMIT = 8_000_000
 # and consumes the joinback index from THAT, never from here.
 LAST_RUN_INFO: dict = {}
 
+# below this edge count the distributed machinery costs more than the work:
+# a repartition + tree fold is ~1.5 s of fixed scheduling for a table a
+# single numpy kernel closes in microseconds. The edge list is already
+# small-side by definition here (it fits one block).
+LOCAL_EDGE_LIMIT = 50_000
+
+
+def _min_fixpoint(par, a, b):
+    """par <- per-component min over the union of (a<->b) links.
+
+    BOTH propagation directions every sweep: one-directional min-scatter
+    loses links like stars {3->1},{3->0} (node 1 never learns 0 through
+    3), and repartitioned edge blocks are not guaranteed to hold both
+    directions of an edge."""
+    import numpy as np
+    while True:
+        new = par.copy()
+        np.minimum.at(new, a, par[b])
+        np.minimum.at(new, b, par[a])
+        np.minimum(new, new[new], out=new)     # pointer jump
+        if np.array_equal(new, par):
+            return par
+        par = new
+
 
 def connected_components(edges, num_partitions: int = 32,
                          max_rounds: int = 16,
@@ -95,6 +119,26 @@ def connected_components(edges, num_partitions: int = 32,
     # string table it joins on.
     n_edges = edges.count()
     _mark(f"count_gate ({n_edges} edges)")
+    if n_edges <= LOCAL_EDGE_LIMIT:
+        import numpy as np
+        tbl = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=65536),
+            promote_options="default") if n_edges else None
+        if n_edges == 0:
+            tbl = pa.table({"u": pa.array([], pa.string()),
+                            "v": pa.array([], pa.string())})
+        ua = tbl["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        va = tbl["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([ua, va]))
+        a = np.searchsorted(nodes, ua)
+        b = np.searchsorted(nodes, va)
+        par = _min_fixpoint(np.arange(len(nodes), dtype=np.int64), a, b)
+        _mark(f"local_fixpoint ({len(nodes)} nodes)")
+        _publish_info(run_info, {"strategy": "local", "rounds": 1,
+                                 "converged": True, "n_nodes": len(nodes)})
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array(nodes, pa.string()),
+            "cluster_id": pa.array(nodes[par], pa.string())}))
     if n_edges <= 16 * broadcast_limit:
         nodes = _collect_universe(edges)
         _mark(f"collect_universe ({len(nodes)} nodes)")
@@ -389,21 +433,8 @@ def _broadcast_components(edges, max_rounds: int, nodes=None,
     #       it into the identity parent vector. Exact: each block's star
     #       forest preserves its subgraph's connectivity, and union-find
     #       over a union of forests is the closure of the union.
-    def _min_fixpoint(par, a, b):
-        """par <- per-component min over the union of (a<->b) links.
-
-        BOTH propagation directions every sweep: one-directional
-        min-scatter loses links like stars {3->1},{3->0} (node 1 never
-        learns 0 through 3), and repartitioned edge blocks are not
-        guaranteed to hold both directions of an edge."""
-        while True:
-            new = par.copy()
-            np.minimum.at(new, a, par[b])
-            np.minimum.at(new, b, par[a])
-            np.minimum(new, new[new], out=new)     # pointer jump
-            if np.array_equal(new, par):
-                return par
-            par = new
+    # per-component min closure: module-level _min_fixpoint (shared with
+    # the tiny-edge local path)
 
     @ray.remote(num_cpus=1)
     def _local_star(block: pa.Table):

@@ -102,7 +102,8 @@ class TestLinkagePipeline:
             assert phase in m, phase
         assert m["extract"]["rows_out"] > 0
         assert m["edges"]["rows_out"] > 0
-        assert m["unionfind"]["strategy"] in ("broadcast", "hash_join")
+        assert m["unionfind"]["strategy"] in ("local", "broadcast",
+                                              "hash_join")
         assert m["unionfind"]["converged"] is True
         assert m["unionfind"]["rounds"] >= 1
         for phase in ["extract", "edges", "unionfind"]:
