@@ -26,7 +26,21 @@ import ray
 from ray.data.aggregate import Count, Min
 
 from .hashing import (estimate_jaccard, md5_hex, minhash_params, mix64,
-                      simhash64, simhash_band_values, token_ngram_hashes)
+                      stable_u64, token_ngram_hashes)
+
+# per-worker token-hash memo for the simhash fingerprint stage: Zipfian
+# vocab means most tokens repeat across batches; capped so an adversarial
+# unique-token stream cannot grow it unboundedly
+_TOK_HASH_CACHE: dict = {}
+
+
+def _tok_hash(t: str) -> int:
+    h = _TOK_HASH_CACHE.get(t)
+    if h is None:
+        h = stable_u64(t.encode("utf-8"))
+        if len(_TOK_HASH_CACHE) < (1 << 20):
+            _TOK_HASH_CACHE[t] = h
+    return h
 
 
 # ---------------------------------------------------------------- exact ----
@@ -67,18 +81,55 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def distinct_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
+def distinct_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                  winner_broadcast_limit: int = 4_000_000):
     """Keep only the minimum-id representative row per distinct text.
 
-    One groupby(md5) shuffle with a keep-first map_groups — strictly
-    cheaper than the winners-join formulation (an inner join re-shuffles
-    the full row side anyway, plus the winners exchange), and it avoids
-    joining against aggregate output, whose empty partitions surface as
-    schema-less blocks that Ray 2.49's hash-join finalize cannot key
-    (observed when a heavily-filtered corpus leaves sparse winners)."""
+    Two strategies, gated on the DISTINCT-text (winner) count:
+
+    - **hash-only + broadcast filter** (winners <= limit, integer ids):
+      one groupby over (md5, id) pairs — the shuffle moves ~40 bytes/row,
+      NEVER text — then the sorted winner-id array broadcasts once
+      (``ray.put``, zero-copy int64) and a second streaming pass over the
+      input keeps matching rows. Text moves ZERO times beyond the reads;
+      the upstream transforms run twice, and a map-only re-read beats an
+      all-to-all of the full corpus at 100 TB (VERDICT r3 #6).
+    - **full-row groupby keep-min** (winners above the limit or
+      non-integer ids): ONE shuffle of full rows with a keep-first
+      map_groups. Deliberately NOT the winners-join formulation: joining
+      against aggregate output crashes Ray 2.49's hash-join finalize on
+      schema-less empty partitions (the sparse-winner regression test
+      pins this).
+    """
     import pyarrow.compute as pc
 
     hashed = add_text_hash(ds, text_col)
+
+    # winner pass: (hash, min id) — hash-only shuffle, tiny rows
+    winners = (hashed.select_columns(["text_hash", id_col])
+               .groupby("text_hash")
+               .aggregate(Min(id_col, alias_name="_win_id"))
+               .materialize())
+    n_win = winners.count()
+    if n_win <= winner_broadcast_limit:
+        ids = np.sort(np.concatenate(
+            [b["_win_id"].combine_chunks().to_numpy(zero_copy_only=False)
+             for b in winners.iter_batches(batch_format="pyarrow")])) \
+            if n_win else np.empty(0, np.int64)
+        if n_win == 0 or np.issubdtype(ids.dtype, np.integer):
+            ids_ref = ray.put(ids)
+
+            def _keep_winners(batch: pa.Table) -> pa.Table:
+                win = ray.get(ids_ref)
+                if not len(win):
+                    return batch.slice(0, 0)
+                rid = batch[id_col].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(win, rid), len(win) - 1)
+                return batch.filter(pa.array(win[pos] == rid))
+
+            return ds.map_batches(_keep_winners, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def _keep_min(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -562,19 +613,55 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ``oversized=1`` marked on every emitted pair.
     """
     def _fp(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
-        out_key, out_id, out_fp = [], [], []
-        for i, t in enumerate(texts):
-            fp = simhash64(t or "")
-            for bidx, val in simhash_band_values(fp, bands):
-                out_key.append("sh:%d:%04x" % (bidx, val))
-                out_id.append(ids[i])
-                out_fp.append(fp)
+        # Bit-identical to hashing.simhash64 per doc (the pytest contract):
+        # same stable_u64 token hashes, same bit votes — but hashlib runs
+        # only over the batch's UNIQUE tokens (Zipf: ~10-20% of the stream)
+        # through a per-worker memo, and the voting/band emission is numpy.
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = la.flatten().to_pylist()
+        fps = np.zeros(n, np.uint64)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, object),
+                                  return_inverse=True)
+            hv = np.array([_tok_hash(t) for t in uniq], np.uint64)
+            th = hv[inv]
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            lens = np.diff(offs)
+            ne = lens > 0
+            starts = offs[:-1][ne]
+            sums = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * sums - lens[ne][:, None]
+            fpb = (votes > 0).astype(np.uint64)
+            fp_ne = np.zeros(int(ne.sum()), np.uint64)
+            for j in range(64):
+                fp_ne |= fpb[:, j] << np.uint64(j)
+            fps[ne] = fp_ne
+        # band emission: bands x 16-bit slices, mixed into uint64 keys
+        w = 64 // bands
+        mask = np.uint64((1 << w) - 1)
+        bvals = np.empty((n, bands), np.uint64)
+        for i in range(bands):
+            bvals[:, i] = (fps >> np.uint64(i * w)) & mask
+        with np.errstate(over="ignore"):
+            key = mix64(bvals * np.uint64(0x9E3779B97F4A7C15)
+                        ^ (np.arange(bands, dtype=np.uint64)[None, :] *
+                           np.uint64(0xC2B2AE3D27D4EB4F)))
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        ids = batch[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
         return pa.table({
-            "band_key": pa.array(out_key, pa.string()),
-            id_col: pa.array(out_id),
-            "_fp": pa.array(out_fp, pa.uint64()),
+            "band_key": pa.array(key.ravel(), pa.uint64()),
+            id_col: ids.take(idx),
+            "_fp": pa.array(np.repeat(fps, bands), pa.uint64()),
         })
 
     def _hamvec(x: np.ndarray) -> np.ndarray:

@@ -139,7 +139,32 @@ def streaming_topk(ds, order_by, k: int) -> pa.Table:
 
 # -------------------------------------------------------- sessionization ----
 
-def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 64):
+def _check_hot_keys(keys, first, limit: int, op: str):
+    """Partitioning-contract guard for the bucketed per-key kernels
+    (sessionize / per_key_window): every row of one key must fit one bucket
+    group. A pathological hot key (one user with 10^9 events) would
+    otherwise blow the group block silently — this mirrors the pairs
+    stage's skew observability (oversized flags, salted hot keys): detect
+    and RAISE with the key named, never degrade silently.
+
+    ``first`` is the boolean run-start mask over the key-sorted rows."""
+    import numpy as np
+    starts = np.flatnonzero(first)
+    if not len(starts):
+        return
+    lens = np.diff(np.r_[starts, len(keys)])
+    mx = int(lens.max())
+    if mx > limit:
+        k = keys[starts[int(np.argmax(lens))]]
+        raise ValueError(
+            f"{op}: hot key {k!r} has {mx} rows in one bucket group "
+            f"(hot_key_limit={limit}). A single key's full history must fit "
+            f"one group; pre-aggregate, shard this key upstream, or raise "
+            f"hot_key_limit if the memory budget allows.")
+
+
+def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 64,
+               hot_key_limit: int = 10_000_000):
     """Gap-based sessionization: one session row per maximal run of a
     user's events with inter-event gaps <= ``gap_s``.
 
@@ -169,6 +194,7 @@ def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 64):
         new_user = np.empty(len(uid), bool)
         new_user[0] = True
         np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        _check_hot_keys(uid, new_user, hot_key_limit, "sessionize")
         new_sess = new_user.copy()
         np.greater(ts[1:] - ts[:-1], gap_us, out=new_sess[1:])
         new_sess |= new_user

@@ -12,7 +12,9 @@ expressed Ray-Data-first and shuffle-minimal:
   kernel per bucket group (lexsort + run boundaries + segmented cumsum),
   so lag/running-sum/rank over 10^12 rows is one shuffle with O(buckets)
   Python-call overhead. Partitioning assumption: all rows of one key fit
-  in one bucket group (per-user event history, not the corpus).
+  in one bucket group (per-user event history, not the corpus) — GUARDED:
+  a key exceeding ``hot_key_limit`` rows raises with the key named
+  (``relational._check_hot_keys``), never degrades silently.
 - ``grouped_topk`` cuts each batch to its local per-key top-k BEFORE the
   shuffle (the classic partial top-k combiner), so the groupby moves at
   most k rows per (key, batch) instead of the full table.
@@ -42,7 +44,8 @@ from .relational import _cents, _ts_us, streaming_topk
 # ----------------------------------------------------- per-key windows ----
 
 
-def per_key_window(events_ds, n_buckets: int = 64):
+def per_key_window(events_ds, n_buckets: int = 64,
+                   hot_key_limit: int = 10_000_000):
     """SQL window functions over a per-key ordered stream, one shuffle.
 
     For every event row, ordered by (ts, event_id) within user_id:
@@ -83,6 +86,8 @@ def per_key_window(events_ds, n_buckets: int = 64):
         first = np.empty(len(uid), bool)
         first[0] = True
         np.not_equal(uid[1:], uid[:-1], out=first[1:])
+        from .relational import _check_hot_keys
+        _check_hot_keys(uid, first, hot_key_limit, "per_key_window")
         # lag: previous ts within the run, null at run starts
         gap = np.empty(len(ts), np.int64)
         gap[1:] = ts[1:] - ts[:-1]

@@ -7,10 +7,13 @@ training-data user runs before every pretraining job:
 Each stage is the scale shape established elsewhere in the package:
 vectorized Arrow quality kernels (``functions/text_analysis.py``), a
 broadcast shingle-index semijoin for decontamination (no shuffle,
-``functions/decontaminate.py``), and a hash-before-shuffle dedup whose
-groupby moves 32-byte keys plus one winners join
-(``functions/dedup.py``). The corpus streams through every stage; the only
-driver-resident object is the benchmark shingle index.
+``functions/decontaminate.py``), and a two-strategy dedup
+(``functions/dedup.py distinct_rows``): a hash-only (md5, id) groupby +
+broadcast winner-id filter when the distinct count fits the gate (text
+moves ZERO times beyond the reads), falling back to one full-row
+keep-min groupby above it. The corpus streams through every stage; the
+driver-resident objects are the benchmark shingle index and the winner-id
+array.
 
 The reference has no corpus surface at all (it is a per-address parser);
 this pipeline is the training-data-pipeline mandate's flagship

@@ -23,6 +23,17 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# median-of-N per query: this box is shared and single runs wander +-15%
+# (the round-3 "linkage regression" was exactly such a wander); medians
+# with recorded spread make rounds comparable. GRAFT_BENCH_REPS=1 for
+# quick iteration.
+REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _init_ray(num_cpus: int):
@@ -59,15 +70,18 @@ def run_linkage_bench(sf_dir: str):
     ds = ray.data.read_parquet(f"{d}/transcripts")
     n_turns = ds.count()
     out_dir = "/tmp/abap_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    out = run_linkage(ds, LinkageConfig())
-    out["turns"].write_parquet(out_dir)
-    dt = time.time() - t0
-    import pyarrow.dataset as pads
-    rows = pads.dataset(out_dir).count_rows()
-    assert rows == n_turns, (rows, n_turns)
-    return dt, n_turns, n_turns / dt
+    times = []
+    for _ in range(REPS):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        out = run_linkage(ds, LinkageConfig())
+        out["turns"].write_parquet(out_dir)
+        times.append(time.time() - t0)
+        import pyarrow.dataset as pads
+        rows = pads.dataset(out_dir).count_rows()
+        assert rows == n_turns, (rows, n_turns)
+    dt = _median(times)
+    return dt, n_turns, n_turns / dt, times
 
 
 def run_query_suite(sf_dir: str) -> dict:
@@ -83,32 +97,41 @@ def run_query_suite(sf_dir: str) -> dict:
              "asof_signup_attribution", "lang_id_docs",
              "unshipped_revenue_topk", "events_user_windows",
              "events_value_quantiles", "events_hll_users"]
-    out = {}
+    out, spread = {}, {}
     for name in picks:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "iter_batches"):          # Dataset: consume stream
-            n = 0
-            for b in res.iter_batches(batch_format="pyarrow"):
-                n += b.num_rows
-        else:
-            n = len(res)
-        out[name] = round(time.time() - t0, 3)
-    return out
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "iter_batches"):      # Dataset: consume stream
+                n = 0
+                for b in res.iter_batches(batch_format="pyarrow"):
+                    n += b.num_rows
+            else:
+                n = len(res)
+            times.append(time.time() - t0)
+        out[name] = round(_median(times), 3)
+        spread[name] = [round(t, 3) for t in times]
+    return out, spread
 
 
 def single_run(num_cpus: int, include_queries: bool = True) -> dict:
     _init_ray(num_cpus)
-    link_s, n_turns, tps = run_linkage_bench(SF_DIR)
+    link_s, n_turns, tps, link_times = run_linkage_bench(SF_DIR)
     queries = {"linkage": round(link_s, 3)}
+    spread = {"linkage": [round(t, 3) for t in link_times]}
     if include_queries:
-        queries.update(run_query_suite(SF_DIR))
+        q, s = run_query_suite(SF_DIR)
+        queries.update(q)
+        spread.update(s)
     total = sum(queries.values())
     return {
         "metric": "total_pipeline_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "reps": REPS,
+        "queries_spread": spread,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
         "linkage_turns": n_turns,
@@ -119,6 +142,9 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
 def _subprocess_run(num_cpus: int, preset: str = "") -> dict:
     """Fresh process + fresh ray session at the given CPU count."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    # scaling legs run the XXL preset (minutes per run): one rep per leg
+    # unless the caller explicitly asks for more
+    env.setdefault("GRAFT_BENCH_REPS", "1")
     if preset:
         env["GRAFT_SYNTH_PRESET"] = preset
     out = subprocess.run(

@@ -70,6 +70,28 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
         assert pd.isna(out["gap_us"][0]) and pd.isna(out["gap_us"][3])
         assert list(out["gap_us"][1:3]) == [0, 0]
 
+    def test_hot_key_guard_raises(self, ray_session):
+        """A key with more rows than hot_key_limit must RAISE with the key
+        named — never silently degrade (VERDICT r3 #5: mirror the pairs
+        stage's skew observability). Normal keys under the limit pass."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.windows import (
+            per_key_window)
+        n = 50
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(range(n), pa.timestamp("us")),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "value": [1.0] * n,
+        })
+        with pytest.raises(Exception, match="hot_key_limit"):
+            per_key_window(ray.data.from_arrow(t), n_buckets=4,
+                           hot_key_limit=10).to_pandas()
+        # under the limit: same data passes untouched
+        out = per_key_window(ray.data.from_arrow(t), n_buckets=4,
+                             hot_key_limit=n).to_pandas()
+        assert len(out) == n
+
 
 class TestGroupedTopk:
     def test_vs_duckdb(self, ray_session):
