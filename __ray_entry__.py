@@ -335,6 +335,39 @@ def _q_format_turns(sf_dir):
         ["conv_id", "turn_idx", "formatted"])
 
 
+def _q_validate_format_turns(sf_dir):
+    """One recorded query for the extract+validate+format family (M*/A5/A6):
+    extracted components plus is_valid/completeness/v_score/formatted, one
+    extract pass. Exists so every family lands inside the driver's 50-query
+    correctness cap (VERDICT r3 #7); the single-surface variants stay as
+    separate (tail) queries."""
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        format_stage, validate_stage)
+    ds = format_stage(validate_stage(_extracted(sf_dir)))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "overall_confidence"] + COMPONENT_FIELDS
+        + ["is_valid", "completeness", "v_score", "formatted"])
+
+
+def _q_component_distributions(sf_dir):
+    from ai_bangladesh_address_parser_ray.stages.postprocess import (
+        component_distributions)
+    return component_distributions(_extracted(sf_dir))
+
+
+def _q_knn_ann(sf_dir):
+    """Both ANN variants (sign-LSH and IVF) in one recorded query, tagged
+    by a method column — same (query_id, neighbor_id, score, rank) shape."""
+    mat, ids = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings")
+    out = []
+    for method, fn in (("lsh", F_sim.knn_lsh), ("ivf", F_sim.knn_ivf)):
+        t = fn(emb, mat, ids, k=_KNN_K)
+        out.append(t.append_column(
+            "method", pa.array([method] * t.num_rows, pa.string())))
+    return pa.concat_tables(out)
+
+
 def _q_district_distribution(sf_dir):
     from ai_bangladesh_address_parser_ray.stages.postprocess import (
         district_distribution)
@@ -677,28 +710,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_qty_discount": _q_lineitem_corr,
         "user_mode_event": _q_user_mode_event,
         "top_terms_per_lang": _q_top_terms,
-        # rows-only (stateful / model / iterative — no SQL equivalent)
+        # rows-only (stateful / model / iterative — no SQL equivalent).
+        # Order matters: the driver records the FIRST 50 queries in
+        # CORRECTNESS_r{N}; entries 38-50 are one representative per
+        # rows-only operator family, and everything past the cap is a
+        # variant of an already-recorded family (VERDICT r3 #7).
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
-        "extract_turn_components": _q_extract,
+        "validate_format_turns": _q_validate_format_turns,
         "minhash_dup_pairs": _q_minhash,
         "simhash_dup_pairs": _q_simhash,
+        "knn_ann_topk": _q_knn_ann,
+        "gazetteer_dim": _q_gazetteer_dim,
+        "media_decode_stats": _q_media_decode,
+        "geo_enrich_turns": _q_geo_enrich,
+        "component_distributions": _q_component_distributions,
+        "corpus_stats": _q_corpus_stats,
+        "suggest_areas_topk": _q_suggest,
+        "compare_adjacent_mentions": _q_compare_adjacent,
+        # ---- past the 50-query recording cap: family-covered variants ----
+        "extract_turn_components": _q_extract,
+        "extract_detailed_turns": _q_extract_detailed,
         "doc_fingerprints": _q_fingerprints,
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
-        "gazetteer_dim": _q_gazetteer_dim,
-        "extract_detailed_turns": _q_extract_detailed,
         "media_frame_features": _q_media_frames,
-        "media_decode_stats": _q_media_decode,
-        "geo_enrich_turns": _q_geo_enrich,
         "validate_turns": _q_validate_turns,
         "format_turns": _q_format_turns,
         "district_distribution": _q_district_distribution,
         "area_distribution": _q_area_distribution,
         "division_distribution": _q_division_distribution,
-        "corpus_stats": _q_corpus_stats,
-        "suggest_areas_topk": _q_suggest,
-        "compare_adjacent_mentions": _q_compare_adjacent,
     }
 
 

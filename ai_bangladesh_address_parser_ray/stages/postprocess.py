@@ -228,3 +228,51 @@ def _field_distribution(extracted, field: str, k: int):
             pc.utf8_length(pc.fill_null(b[field], "")), 0)),
         batch_format="pyarrow", zero_copy_batch=True)
     return top_k_by_count(nonempty, field, k=k)
+
+
+def component_distributions(extracted, ks: dict | None = None):
+    """All A1 top-k distributions in ONE extract pass, long format
+    ``(component, value, n, rank)`` — district/area/division histograms
+    with the reference's per-component k (most_common(10/20/8)). One
+    combined query keeps the whole distribution family inside the driver's
+    50-query correctness cap (VERDICT r3 #7) AND runs the expensive
+    extract stage once instead of three times. Count cells pre-aggregate
+    per batch; the shuffle carries (component, value, n) histogram rows;
+    ties break by value ascending (same order as the per-field queries)."""
+    from ray.data.aggregate import Sum
+    from ..functions.windows import grouped_topk
+
+    ks = ks or {"district": 10, "area": 20, "division": 8}
+    fields = sorted(ks)
+
+    def _long(batch: pa.Table) -> pa.Table:
+        parts = []
+        for f in fields:
+            v = pc.fill_null(batch[f], "")
+            t = pa.table({
+                "component": pa.array([f] * batch.num_rows, pa.string()),
+                "value": v})
+            parts.append(t.filter(pc.greater(pc.utf8_length(v), 0)))
+        return pa.concat_tables(parts)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["component", "value"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["component", "value", "n"])
+
+    hist = (extracted.select_columns(fields)
+            .map_batches(_long, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["component", "value"])
+            .aggregate(Sum("n", alias_name="n")))
+    top = grouped_topk(hist, "component", "n", "value", k=max(ks.values()))
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        karr = pa.array([ks[c] for c in batch["component"].to_pylist()],
+                        pa.int64())
+        return batch.filter(pc.less_equal(batch["rank"], karr))
+
+    return top.map_batches(_cut, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -80,6 +80,23 @@ class TestStatistics:
             exp = int((df[f].fillna("") == "").sum())
             assert int(got["missing_" + f][0]) == exp, f
 
+    def test_component_distributions_match_per_field(self, extracted):
+        """The one-pass combined query must equal the three per-field
+        queries row-for-row (same counts, same tie order)."""
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            area_distribution, component_distributions,
+            district_distribution, division_distribution)
+        got = component_distributions(extracted).to_pandas()
+        for field, fn, k in [("district", district_distribution, 10),
+                             ("area", area_distribution, 20),
+                             ("division", division_distribution, 8)]:
+            sub = (got[got.component == field]
+                   .sort_values("rank").reset_index(drop=True))
+            exp = fn(extracted, k=k).to_pandas()
+            assert sub["value"].tolist() == exp[field].tolist(), field
+            assert sub["n"].tolist() == exp["n"].tolist(), field
+            assert sub["rank"].tolist() == list(range(1, len(exp) + 1))
+
     def test_area_division_distributions(self, extracted):
         from ai_bangladesh_address_parser_ray.stages.postprocess import (
             area_distribution, division_distribution)

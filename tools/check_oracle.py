@@ -67,6 +67,30 @@ def main():
             failures += 1
             continue
         dt = time.time() - t0
+        if name == "events_hll_users":
+            # sketch gate (VERDICT r3 #9): HLL estimate per group must land
+            # within 5 standard errors (1.04/sqrt(2^p) ~ 1.6% at p=12) of
+            # the EXACT distinct count — a deterministic bound for any
+            # non-adversarial input, far tighter than rows-only.
+            exact = con.sql(
+                "SELECT event_type, COUNT(DISTINCT user_id) AS n "
+                "FROM events GROUP BY event_type").df().set_index(
+                    "event_type")["n"]
+            bound = 5 * 1.04 / (2 ** 12) ** 0.5
+            worst, bad = 0.0, 0
+            for _, row in res.iterrows():
+                e = exact[row["event_type"]]
+                rel = abs(row["approx_distinct"] - e) / max(e, 1)
+                worst = max(worst, rel)
+                if rel > bound:
+                    bad += 1
+            status = "MATCH" if (bad == 0 and len(res) == len(exact)) \
+                else "FAIL "
+            if status == "FAIL ":
+                failures += 1
+            print(f"{status} {name}: hll groups {len(res)}/{len(exact)} "
+                  f"worst_rel_err={worst:.4f} bound={bound:.4f} ({dt:.1f}s)")
+            continue
         if name not in oracles:
             print(f"ok    {name}: rows={len(res)} cols={sorted(res.columns)}"
                   f" ({dt:.1f}s, rows-only)")
