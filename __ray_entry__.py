@@ -757,6 +757,8 @@ def _normalizer_sql(col: str) -> str:
         e = f"replace({e}, {_sql_quote(bn)}, {_sql_quote(en)})"
     e = f"replace({e}, '\"', '')"
     e = f"replace({e}, '''', '')"
+    for q in ("’", "‘", "“", "”"):
+        e = f"replace({e}, {_sql_quote(q)}, '')"
     for wrong, right in CORRECTIONS:
         e = (f"regexp_replace({e}, '(?i)\\b{wrong}\\b', "
              f"{_sql_quote(right)}, 'g')")

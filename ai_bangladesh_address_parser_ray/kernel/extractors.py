@@ -23,7 +23,11 @@ from .gazetteer import (AREAS, AREA_CORRECTIONS, AREA_VARIANTS,
 
 Hit = Optional[Tuple[str, float]]
 
-_NUMTOK = r"\d+(?:/[A-Za-z0-9]+)?"
+# Bangla letters survive normalization (only numerals/places/keywords are
+# transliterated), and the labeled corpus keeps Bangla suffix letters in
+# house ids ("126/সি", "216/2/গ") — suffix classes must accept them
+_BN = "ঀ-৿"
+_NUMTOK = rf"\d+(?:/[A-Za-z0-9{_BN}]+)?"
 
 # ---------------------------------------------------------------- house
 # NOTE: patterns run on NORMALIZED text — the normalizer rewrites `#`
@@ -45,7 +49,8 @@ _HOUSE_PATTERNS = [
     # letter-digit house ids after the keyword: "House No. B40", "House#F25"
     (re.compile(rf"\b{_HOUSE_KW}\s*{_HNO}[-–]?\s*"
                 rf"([A-Za-z]{{1,2}}-?\d+(?:/[A-Za-z0-9]+)*)\b", re.I), 0.93),
-    (re.compile(rf"\bHolding\s*{_HNO}[-–]?\s*"
+    # "Holding No New: 97" keeps an adjective between No and the number
+    (re.compile(rf"\bHolding\s*{_HNO}[-–]?\s*(?:New\s+)?"
                 rf"([A-Za-z]{{0,2}}-?{_NUMTOK})", re.I), 0.92),
     (re.compile(rf"\b(?:Building|Bldg)\s*{_HNO}[\s-]*"
                 rf"({_NUMTOK}[A-Za-z]?)\b", re.I), 0.92),
@@ -82,7 +87,7 @@ _HOUSE_PATTERNS = [
 # left-context guard rejects numbers owned by road/flat/block/… (the
 # reference applies its standalone bank only after keyword banks miss and
 # vetoes context words, house_number_processor.py:253-281)
-_HOUSE_COMPOUND = r"\d{1,4}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9()]{1,4}){1,3}"
+_HOUSE_COMPOUND = rf"\d{{1,4}}[A-Za-z]?(?:\s*[/-]\s*[A-Za-z0-9(){_BN}]{{1,4}}){{1,3}}"
 # leading COMPOUND ("1152/C Greenhouse, House No 45" is labeled 1152/C in
 # the reference corpus): outranks the keyword bank — tried ABOVE it
 _HOUSE_LEAD_COMPOUND = re.compile(
@@ -94,13 +99,15 @@ _HOUSE_LEAD_DASHNAME = re.compile(
     r"(?:Tower|Bari|Bhaban|Bhavan|Villa|Manjil|Mansion|Complex|Plaza)\b")
 _HOUSE_POSITIONAL = [
     # leading positional: "105/A, Central Road ...", "25A Dilu Road"
-    (re.compile(r"^\s*(\d{1,4}[A-Za-z]?"
-                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s+[A-Za-z]"), 0.75),
+    (re.compile(rf"^\s*(\d{{1,4}}[A-Za-z]?"
+                rf"(?:\s*[/-]\s*[A-Za-z0-9{_BN}]{{1,4}}){{0,3}})"
+                rf"\s+[A-Za-z{_BN}]"), 0.75),
     # segment-initial number before a word: ", 229 East Kazipara",
     # ", 73 Dilkhusa", ", 25-27 Kazi Nazrul Islam Avenue" (the reference
     # house bank's positional patterns, house_number_processor.py:760-860)
-    (re.compile(r"(?:^|,)\s*(\d{1,4}[A-Za-z]?"
-                r"(?:\s*[/-]\s*[A-Za-z0-9]{1,4}){0,3})\s+[A-Za-z]"), 0.74),
+    (re.compile(rf"(?:^|,)\s*(\d{{1,4}}[A-Za-z]?"
+                rf"(?:\s*[/-]\s*[A-Za-z0-9{_BN}]{{1,4}}){{0,3}})"
+                rf"\s+[A-Za-z{_BN}]"), 0.74),
     # segment-initial compound, even at segment end: ", 865/1"
     (re.compile(rf"(?:^|,)\s*({_HOUSE_COMPOUND})\s*(?:[,(]|$)"), 0.73),
     # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
@@ -237,6 +244,14 @@ _NAMED_GOLI_MID = re.compile(
 _NAMED_VETO = re.compile(
     r"\b(?:House|Flat|Block|Floor|Sector|Plot|Holding|Post|feet|No|Number)"
     r"\b", re.I)
+# last-resort unicode named forms (round-4 miss taxonomy): Bangla-script
+# or lowercase road names the ASCII-cased mid pattern cannot see —
+# "বনশ্রি Road", "shohid Faruq road", "(লাংগলের Lane)" — plus the numbered
+# named-lane form "১১ নং শিরিশ দাস লেন" -> "11 No শিরিশ দাস Lane"
+_NAMED_NO_LANE = re.compile(
+    r"\b(\d+\s*No\.?(?:\s+[^\s,()]+){1,3}\s+(?:Lane|Road))\b", re.I)
+_NAMED_ROAD_ANY = re.compile(
+    r"((?:[^\s,()]+\s+){1,3}(?:Road|Lane|Avenue|Street))\b", re.I)
 
 
 def _named_segments(text: str, kinds) -> Optional[str]:
@@ -310,6 +325,19 @@ def extract_road(text: str) -> Hit:
     m = _FEET_BARE.search(text)
     if m:
         return m.group(1), 0.78
+    # last-resort unicode/lowercase named forms (see pattern bank notes)
+    m = _NAMED_NO_LANE.search(text)
+    if m:
+        return m.group(1), 0.76
+    m = _NAMED_ROAD_ANY.search(text)
+    if m:
+        val = m.group(1).strip()
+        prefix = val.rsplit(" ", 1)[0]
+        low = val.lower()
+        if (not _NAMED_VETO.search(prefix)
+                and low not in AREAS
+                and AREA_VARIANTS.get(low) not in AREAS):
+            return val, 0.74
     return None
 
 
@@ -338,6 +366,7 @@ _AREA_RE = re.compile(
     + r")(?![A-Za-z])", re.I)
 _AREA_WORD1 = {k for k in _AREA_ALL if " " not in k}
 _AREA_WORD2 = {tuple(k.split(" ")) for k in _AREA_ALL if k.count(" ") == 1}
+_AREA_WORD3 = {tuple(k.split(" ")) for k in _AREA_ALL if k.count(" ") == 2}
 _TOKEN_SPAN_RE = re.compile(r"[A-Za-z]+")
 
 
@@ -353,6 +382,14 @@ def _area_matches(text: str):
     n = len(toks)
     while i < n:
         s1, e1, w1 = toks[i]
+        if i + 2 < n and _AREA_WORD3:
+            s2, e2, w2 = toks[i + 1]
+            s3, e3, w3 = toks[i + 2]
+            if ((w1, w2, w3) in _AREA_WORD3 and text[e1:s2] == " "
+                    and text[e2:s3] == " "):
+                out.append((s1, e3, text[s1:e3]))
+                i += 3
+                continue
         if i + 1 < n:
             s2, e2, w2 = toks[i + 1]
             if (w1, w2) in _AREA_WORD2 and text[e1:s2] == " ":

@@ -99,6 +99,14 @@ AREAS: Dict[str, tuple] = {
     "kazipara":      ("Dhaka", "Dhaka", ["1216"]),
     "panthapath":    ("Dhaka", "Dhaka", ["1205"]),
     "vatara":        ("Dhaka", "Dhaka", ["1212"]),
+    "kataban":       ("Dhaka", "Dhaka", ["1000"]),
+    "savar":         ("Dhaka", "Dhaka", ["1340"]),
+    "bibir bagicha": ("Dhaka", "Dhaka", ["1204"]),
+    "ak khan more":  ("Chattogram", "Chattogram", ["4202"]),
+    "sadar south":   ("Comilla", "Chattogram", ["3500"]),
+    "kuril":         ("Dhaka", "Dhaka", ["1229"]),
+    "dc hill":       ("Chattogram", "Chattogram", ["4000"]),
+    "kumar para":    ("Rajshahi", "Rajshahi", ["6100"]),
     "matuail":       ("Dhaka", "Dhaka", ["1362"]),
     "manda":         ("Dhaka", "Dhaka", ["1214"]),
     "mugda":         ("Dhaka", "Dhaka", ["1214"]),
@@ -480,8 +488,16 @@ def validate_and_enrich(evidence_map: Dict[str, list],
     if district:
         div = gaz.district_division(district)
         if div:
+            # 0.90, not 0.80: district -> division is a DETERMINISTIC
+            # administrative mapping (64 districts partition 8 divisions);
+            # the only uncertainty is the district itself, which already
+            # passed its own resolution. At 0.80 a single false-positive
+            # area token ("Shima Niketon" -> Niketon -> Dhaka) ties the
+            # conflict score and the 0.90 conflict discount then drops the
+            # division below its 0.80 threshold — the round-4 miss
+            # taxonomy's "division empty despite recognized district" class.
             evidence_map.setdefault("division", []).append(
-                {"value": div, "confidence": 0.80,
+                {"value": div, "confidence": 0.90,
                  "source": "inferred_from_district"})
 
 
@@ -529,6 +545,7 @@ AREA_VARIANTS: Dict[str, str] = {
     "cantt": "cantonment", "cant": "cantonment",
     "khilgoan": "khilgaon",
     "banashree": "banasree", "banosree": "banasree",
+    "banossree": "banasree",
     "bashundara": "bashundhara",
     "baridara": "baridhara",
     "katalganj": "katalgonj",

@@ -38,6 +38,13 @@ BN_PLACES = [
     ("উত্তরা", "Uttara"), ("মিরপুর", "Mirpur"), ("হালিশহর", "Halishahar"),
     ("আগ্রাবাদ", "Agrabad"), ("বসুন্ধরা", "Bashundhara"),
     ("জিগাতলা", "Jigatola"), ("মোহাম্মদপুর", "Mohammadpur"),
+    # place names that contain keyword substrings (বাড়ী/বাসা) MUST
+    # transliterate here, before BN_KEYWORDS mangles them (round-4 miss
+    # taxonomy: Bangla-script labels for known areas were normalizer-gaps)
+    ("যাত্রাবাড়ী", "Jatrabari"), ("যাত্রাবাড়ি", "Jatrabari"),
+    ("বাসাবো", "Basabo"), ("বাড্ডা", "Badda"),
+    ("ক্যান্টনমেন্ট", "Cantonment"), ("কাটাবন", "Kataban"),
+    ("সবুজবাগ", "Sabujbagh"), ("খিলগাঁও", "Khilgaon"),
 ]
 
 BN_KEYWORDS = [
@@ -45,6 +52,8 @@ BN_KEYWORDS = [
     ("ফ্ল্যাট", "Flat"), ("তলা", "Floor"), ("ব্লক", "Block"),
     ("লেন", "Lane"), ("গলি", "Lane"), ("নং", "No"), ("নাম্বার", "No"),
     ("নম্বর", "No"),
+    ("লেইন", "Lane"), ("স্ট্রিট", "Street"), ("সড়ক", "Road"),
+    ("এভিনিউ", "Avenue"), ("ফিট", "Feet"), ("হোল্ডিং", "Holding"),
 ]
 
 # word -> canonical spelling, applied case-insensitively on word boundaries
@@ -72,6 +81,9 @@ def normalize(text: str) -> str:
     for bn, en in BN_KEYWORDS:
         text = text.replace(bn, en)
     text = text.replace('"', "").replace("'", "")
+    # curly quotes appear in the labeled corpus ("Cox’s Bazar")
+    text = text.replace("’", "").replace("‘", "")
+    text = text.replace("“", "").replace("”", "")
     for rx, right in _CORRECTION_RES:
         text = rx.sub(right, text)
     text = text.replace("#", " No ").replace(":", " ")
@@ -91,6 +103,8 @@ def normalize_array(arr: pa.Array) -> pa.Array:
         a = pc.replace_substring(a, bn, en)
     a = pc.replace_substring(a, '"', "")
     a = pc.replace_substring(a, "'", "")
+    for q in ("’", "‘", "“", "”"):
+        a = pc.replace_substring(a, q, "")
     for wrong, right in CORRECTIONS:
         a = pc.replace_substring_regex(a, rf"(?i)\b{wrong}\b", right)
     a = pc.replace_substring(a, "#", " No ")
