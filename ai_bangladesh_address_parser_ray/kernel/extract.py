@@ -162,14 +162,22 @@ class ExtractionKernel:
         # module fixture instance
         self.gazetteer = gazetteer
 
-    def extract(self, text: str, detailed: bool = False) -> Dict:
+    def extract(self, text: str, detailed: bool = False,
+                pre_normalized: bool = False) -> Dict:
+        """``pre_normalized=True``: the caller guarantees ``text`` is
+        already the stage-2 canonical form (the distributed pipeline's
+        ``norm_text`` column), so the kernel skips re-normalizing.
+        ``normalize`` is idempotent (pytest property), so the result is
+        bit-identical to the default path — it just stops paying the ~25
+        regex substitutions twice per string in the hottest stage."""
         if not prescreen(text):
             # gate: no digit / Bangla / location / keyword token anywhere —
             # stages 3-8 cannot produce evidence (see _build_prescreen)
             out = {
                 "components": dict(_EMPTY_COMPONENTS),
                 "overall_confidence": 0.0,
-                "normalized_address": normalize(text),
+                "normalized_address":
+                    text if pre_normalized else normalize(text),
                 "original_address": text,
             }
             if detailed:
@@ -183,8 +191,9 @@ class ExtractionKernel:
                 }
             return out
 
-        script = detect_script(text)            # stage 1
-        norm = normalize(text)                  # stage 2
+        # stage 1 (script detect) feeds only the detailed metadata block;
+        # computed there, not in the hot path
+        norm = text if pre_normalized else normalize(text)   # stage 2
 
         evidence: Dict[str, list] = {f: [] for f in COMPONENT_FIELDS}
 
@@ -247,7 +256,7 @@ class ExtractionKernel:
             from .extractors import extract_country
             cval, cconf = extract_country(norm)
             out["metadata"] = {
-                "script": script,
+                "script": detect_script(text),          # stage 1
                 "component_details": resolved,
                 "enabled_stages": dict(self.stages),
                 # CityResult.country parity (district_processor.py:177-212)

@@ -590,6 +590,15 @@ def fuzzy_match_area(token: str,
         return AREA_VARIANTS[t]
     if len(t) < 4 or t in areas:
         return t if t in areas else None
+    # per-gazetteer token->result memo: transcript token vocabulary repeats
+    # heavily, and the signature-probe scan below builds ~len+26 frozensets
+    # per call — two dict probes beat that by ~50x on repeat tokens (the
+    # kernel profile had this function at 17% of extraction time)
+    memo = getattr(g, "_fuzzy_memo", None)
+    if memo is None:
+        memo = g._fuzzy_memo = {}
+    if t in memo:
+        return memo[t]
     names, sets, by_prefix, by_sig = _fuzzy_cache(g)
     tset = frozenset(t)
     best_name, best_ov = None, 0.0
@@ -623,4 +632,7 @@ def fuzzy_match_area(token: str,
         cand.update(by_sig.get(sig, ()))
     for name in sorted(cand):
         consider(name)
+    if len(memo) >= 500_000:
+        memo.clear()                  # epoch eviction, O(1) amortized
+    memo[t] = best_name
     return best_name

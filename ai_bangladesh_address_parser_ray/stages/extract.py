@@ -45,7 +45,7 @@ class ExtractTurns:
                  stages: Optional[Dict[str, bool]] = None,
                  text_column: str = "norm_text", memo: bool = True,
                  ner_model_factory=None, gazetteer_frozen=None,
-                 detailed: bool = False):
+                 detailed: bool = False, pre_normalized: bool = True):
         # the factory (not the model) ships to the worker; the model loads
         # once per actor here in __init__ — the actor-pool pattern for
         # expensive state
@@ -59,9 +59,14 @@ class ExtractTurns:
         self.text_column = text_column
         self.memo: Optional[Dict] = {} if memo else None
         self.detailed = detailed
+        # the default text column is the normalize stage's output, which IS
+        # the canonical form — skip the kernel's internal re-normalize
+        # (bit-identical; normalize is idempotent by pytest property)
+        self.pre_normalized = pre_normalized and text_column == "norm_text"
 
     def _extract_one(self, t: str):
-        res = self.kernel.extract(t, detailed=self.detailed)
+        res = self.kernel.extract(t, detailed=self.detailed,
+                                  pre_normalized=self.pre_normalized)
         comp = res["components"]
         row = tuple(comp[f] for f in COMPONENT_FIELDS) \
             + (res["overall_confidence"],)
