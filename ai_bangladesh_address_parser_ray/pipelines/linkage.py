@@ -302,7 +302,13 @@ def run_linkage(transcripts, cfg: LinkageConfig = LinkageConfig(),
     def compute_edges():
         entity_rows = extracted.map_batches(
             _has_any_component, batch_format="pyarrow", zero_copy_batch=True)
-        blocked = blocking_stage(entity_rows).materialize()
+        # coalesce to ~one fat block per partition slot before the bucket
+        # groupby: the sort-based all-to-all moves B_in x B_out block
+        # fragments, and 200 read-sized blocks make 40k tiny objects whose
+        # scheduling latency dominates the shuffle (measured 23s -> 19s at
+        # 4.8M turns / 32 cpus with 32 fat blocks)
+        blocked = blocking_stage(entity_rows) \
+            .repartition(cfg.num_partitions).materialize()
         return candidate_pairs_stage(
             blocked, cap=cfg.block_cap, window=cfg.block_window,
             score_threshold=cfg.score_threshold, stats=_skew_stats)

@@ -383,6 +383,24 @@ def _broadcast_components(edges, max_rounds: int, nodes=None,
     order = np.argsort(h, kind="stable").astype(np.int64)
     h_sorted = np.ascontiguousarray(h[order])
     unique_hashes = n == 0 or (np.diff(h_sorted) != 0).all()
+    def _canon_dedup(ui: np.ndarray, vi: np.ndarray) -> pa.Table:
+        """Canonical (min,max) orientation + per-batch dedupe. Overlapping
+        blocking keys emit the same pair ~3x; dropping the duplicates here
+        (one 128-bit structured unique per batch, no shuffle) shrinks every
+        downstream fold input by that factor. NO symmetrized copy: both
+        ``_local_star`` and ``_min_fixpoint`` treat (si, di) as undirected
+        (the universe covers both endpoint columns and the min-scatter
+        propagates both directions every sweep), so emitting each edge once
+        halves the fold input again."""
+        lo = np.minimum(ui, vi)
+        hi = np.maximum(ui, vi)
+        pairs = np.empty(len(lo), dtype=[("a", "i8"), ("b", "i8")])
+        pairs["a"] = lo
+        pairs["b"] = hi
+        pairs = np.unique(pairs)
+        return pa.table({"si": pa.array(pairs["a"], pa.int64()),
+                         "di": pa.array(pairs["b"], pa.int64())})
+
     if unique_hashes:
         index_ref = ray.put((h_sorted, order))
 
@@ -390,12 +408,8 @@ def _broadcast_components(edges, max_rounds: int, nodes=None,
             hs, rank = ray.get(index_ref)
             bu = _hash64(batch["u"]).to_numpy()
             bv = _hash64(batch["v"]).to_numpy()
-            ui = rank[np.searchsorted(hs, bu)]
-            vi = rank[np.searchsorted(hs, bv)]
-            # symmetrize HERE, in int space: (u,v) and (v,u)
-            return pa.table({
-                "si": pa.array(np.concatenate([ui, vi]), pa.int64()),
-                "di": pa.array(np.concatenate([vi, ui]), pa.int64())})
+            return _canon_dedup(rank[np.searchsorted(hs, bu)],
+                                rank[np.searchsorted(hs, bv)])
     else:   # astronomically rare: exact hashtable fallback
         index_ref = ray.put(pd.Index(nodes.to_pandas()))
 
@@ -403,9 +417,7 @@ def _broadcast_components(edges, max_rounds: int, nodes=None,
             idx = ray.get(index_ref)
             ui = idx.get_indexer(batch["u"].to_numpy(zero_copy_only=False))
             vi = idx.get_indexer(batch["v"].to_numpy(zero_copy_only=False))
-            return pa.table({
-                "si": pa.array(np.concatenate([ui, vi]), pa.int64()),
-                "di": pa.array(np.concatenate([vi, ui]), pa.int64())})
+            return _canon_dedup(ui, vi)
     _mark("index_put")
 
     cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -69,6 +69,14 @@ def run_linkage_bench(sf_dir: str):
     d = synth_dir_for(sf_dir)
     ds = ray.data.read_parquet(f"{d}/transcripts")
     n_turns = ds.count()
+    if n_turns <= 200_000:
+        # the toy warm-up touches only a few Ray workers; at bench scale the
+        # first full run still pays per-worker package import + gazetteer
+        # asset load on the other ~30 workers (a per-SESSION cost, not a
+        # per-run one — measured ~+3s on rep 1 only). One untimed full pass
+        # makes every timed rep steady-state. Skipped at scaling-sweep scale
+        # where a single run is minutes and amortizes its own cold start.
+        run_linkage(ds, LinkageConfig())["turns"].count()
     out_dir = "/tmp/abap_bench_out"
     times = []
     for _ in range(REPS):
@@ -189,7 +197,7 @@ def scaling():
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "platform_ceiling.py"),
                  str(lo), str(hi)],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=420)
             return json.loads(
                 ceil_out.stdout.strip().splitlines()[-1])["kernel_ceiling"]
         except Exception:
