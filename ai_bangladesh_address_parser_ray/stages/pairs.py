@@ -202,6 +202,8 @@ def _hash_exchange(block_refs, P: int, fn, kwargs: dict,
     @ray.remote(num_cpus=1)
     def _split(block: pa.Table, n_parts: int):
         import polars as pl_
+        if n_parts == 1:       # num_returns=1 would ship the 1-tuple as
+            return block       # ONE object; return the bare table instead
         h = pl_.from_arrow(block[key_col]).hash(seed=11) \
             .to_numpy().astype(np.uint64)
         part = (h % np.uint64(n_parts)).astype(np.int64)

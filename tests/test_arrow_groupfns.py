@@ -14,7 +14,7 @@ from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
 from ai_bangladesh_address_parser_ray.functions.dedup import (
     _SIG_COL, _banded_bucket_pairs_fn, _lists_to_2d, _pair_schema)
 from ai_bangladesh_address_parser_ray.stages.pairs import (
-    _bucket_arrays, _pairs_core, _pairs_from_bucket, PAIR_COLUMNS)
+    _bucket_arrays, _count_hot, _pairs_core, _pairs_from_bucket, PAIR_COLUMNS)
 
 
 def _mention_table(rows):
@@ -128,3 +128,61 @@ class TestDedupArrowPath:
         arr = pa.array([[1, 2], [3]], pa.list_(pa.uint64()))
         m = _lists_to_2d(arr, np.uint64)
         assert len(m) == 2                          # object fallback path
+
+
+# Reduce fn for the exchange tests: the library's own salt-count fn with
+# thresh=0 returns (block_key, len) for every key in the partition. Using a
+# library-module fn (not one defined here) keeps it importable on Ray
+# workers, which do not have tests/ on their path.
+
+
+class TestHashExchange:
+    """Unit contract of the manual two-stage exchange that replaced the
+    Dataset sort shuffle in the pairs/salt stages (stages/pairs.py)."""
+
+    def _blocks(self, n_keys=97, rows_per_key=13, n_blocks=7):
+        rng = np.random.default_rng(7)
+        keys = np.repeat([f"k{i:03d}" for i in range(n_keys)], rows_per_key)
+        vals = np.arange(len(keys))
+        order = rng.permutation(len(keys))
+        keys, vals = keys[order], vals[order]
+        cuts = np.linspace(0, len(keys), n_blocks + 1).astype(int)
+        return [pa.table({"block_key": keys[a:b], "v": vals[a:b]})
+                for a, b in zip(cuts[:-1], cuts[1:])]
+
+    def test_counts_match_global_groupby_and_colocate(self, ray_session):
+        import ray
+        from ai_bangladesh_address_parser_ray.stages.pairs import (
+            _hash_exchange)
+        blocks = self._blocks()
+        refs = [ray.put(b) for b in blocks]
+        for P in (1, 3, 8):
+            parts = [p for p in ray.get(_hash_exchange(refs, P, _count_hot, {"thresh": 0}))
+                     if p.num_rows]
+            # co-location: a key's rows land in exactly ONE partition
+            per_part_keys = [set(p["block_key"].to_pylist()) for p in parts]
+            for i in range(len(per_part_keys)):
+                for j in range(i + 1, len(per_part_keys)):
+                    assert not (per_part_keys[i] & per_part_keys[j])
+            got = pa.concat_tables(parts).to_pandas() \
+                .sort_values("block_key").reset_index(drop=True)
+            want = pa.concat_tables(blocks).to_pandas() \
+                .groupby("block_key").size().rename("len").reset_index()
+            pd.testing.assert_frame_equal(
+                got, want.astype({"len": got["len"].dtype}))
+
+    def test_empty_partitions_keep_schema(self, ray_session):
+        import ray
+        from ai_bangladesh_address_parser_ray.stages.pairs import (
+            _hash_exchange)
+        # 2 keys into 16 partitions -> >=14 partitions see zero rows and
+        # must still return a typed (possibly empty) table
+        blocks = [pa.table({"block_key": ["a", "b"], "v": [1, 2]})]
+        refs = [ray.put(b) for b in blocks]
+        parts = ray.get(_hash_exchange(refs, 16, _count_hot, {"thresh": 0}))
+        assert len(parts) == 16
+        for p in parts:
+            assert p.schema.names == ["block_key", "len"]
+        total = sum(p["len"].to_pylist() and sum(p["len"].to_pylist()) or 0
+                    for p in parts)
+        assert total == 2

@@ -35,6 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECONDS = 10.0
+CAP_PER_PROC = 200_000   # texts per worker: bounds every leg's wall time
 _SHARD = None   # full corpus, set once per worker by the pool initializer
 
 
@@ -43,8 +44,16 @@ def _corpus():
     default) — generated deterministically if absent, no Ray needed. Big
     enough that a worker's SINGLE pass over its shard takes seconds: a
     loop that rotates a small shard turns the per-worker memo into a ~100%
-    hit cache and measures nothing (see module docstring)."""
-    os.environ.setdefault("GRAFT_SYNTH_PRESET", "sf-scaling")
+    hit cache and measures nothing (see module docstring).
+
+    The preset is PINNED to sf-scaling (480k turns): the text distribution
+    is identical across presets, so the ceiling is preset-independent —
+    but inheriting the sweep's GRAFT_SYNTH_PRESET (xl = 4.8M texts) once
+    made the 2- and 4-proc legs take >420s and silently time out inside
+    `bench.py --scaling`. Per-worker shards are additionally capped at
+    CAP_PER_PROC texts (~90s of kernel work), which keeps every leg
+    bounded regardless of proc count."""
+    os.environ["GRAFT_SYNTH_PRESET"] = "sf-scaling"
     from ai_bangladesh_address_parser_ray.sources.synthetic import synth_dir_for
     import pyarrow.dataset as pads
     d = synth_dir_for(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -65,7 +74,8 @@ def _kernel_work(args):
     idx, n_procs = args
     from ai_bangladesh_address_parser_ray.kernel.extract import ExtractionKernel
     from ai_bangladesh_address_parser_ray.kernel.normalizer import normalize
-    texts = [normalize(t or "") for t in _SHARD[idx::n_procs]]
+    texts = [normalize(t or "")
+             for t in _SHARD[idx::n_procs][:CAP_PER_PROC]]
     k = ExtractionKernel()
     t0 = time.time()
     for t in texts:
