@@ -186,3 +186,40 @@ class TestHashExchange:
         total = sum(p["len"].to_pylist() and sum(p["len"].to_pylist()) or 0
                     for p in parts)
         assert total == 2
+
+
+class TestPairsStagePartitionInvariance:
+    """candidate_pairs_stage through the REAL manual exchange: the pair /
+    edge set must not depend on the partition count (co-location is the
+    only thing the exchange provides; P is a pure parallelism knob)."""
+
+    def _blocked_ds(self, ray_session):
+        import ray.data
+        rng = np.random.default_rng(23)
+        rows = []
+        for b in range(30):                      # 30 blocks, 2-20 rows
+            for j in range(2 + int(rng.integers(0, 19))):
+                rows.append((f"bk{b:02d}", f"n{b:02d}_{j:02d}",
+                             f"road {b % 7}",
+                             str((b * 13 + j * (j % 3)) % 40)))
+        return ray.data.from_arrow(_mention_table(rows))
+
+    def _pair_set(self, ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
+                out.add((min(u, v), max(u, v)))
+        return out
+
+    def test_plain_and_scored_invariant_under_p(self, ray_session):
+        from ai_bangladesh_address_parser_ray.stages.pairs import (
+            candidate_pairs_stage)
+        ds = self._blocked_ds(ray_session)
+        plain = [self._pair_set(candidate_pairs_stage(ds, num_partitions=p))
+                 for p in (1, 3, 8)]
+        assert plain[0] and plain[0] == plain[1] == plain[2]
+        scored = [self._pair_set(candidate_pairs_stage(
+            ds, num_partitions=p, score_threshold=0.85))
+            for p in (1, 3, 8)]
+        assert scored[0] == scored[1] == scored[2]
+        assert scored[0] <= plain[0]     # edges are a scored subset
