@@ -82,6 +82,18 @@ _HOUSE_PATTERNS = [
     (re.compile(rf"\b({_NUMTOK})\s+(?:Bhobon|Bhaban)\b", re.I), 0.85),
     # mahol/mahal household unit (:246)
     (re.compile(r"\b(?:Mahol|Mahal)\s*-?\s*(\d+[A-Za-z]?)\b", re.I), 0.85),
+    # "12-Storey Govt Office Building" / "10-story Building" / "13-Tala
+    # Building": the storey-count phrase IS the building's id in the
+    # labeled corpus (reference standalone bank's N-storey forms)
+    (re.compile(r"\b(\d{1,2}[-\s]?(?:storey|storied|story|tala))\b",
+                re.I), 0.80),
+    # villa-suffix letter compound: "Aziz Villa BA-A/3" (reference letter
+    # bank's dash-slash form)
+    (re.compile(r"\b([A-Za-z]{1,2}-[A-Za-z]\s*/\s*\d+[A-Za-z]?)\b"), 0.80),
+    # leading single-letter marker: "U#19, Noorjahan Road" arrives as
+    # "U No 19"; the whole marker phrase is the labeled value (H has its
+    # own bank above that keeps only the number)
+    (re.compile(r"^\s*([A-GI-Z]\s*No\.?\s*\d{1,4})\b", re.I), 0.84),
 ]
 # bare-number positionals — no keyword claims the value, so an extra
 # left-context guard rejects numbers owned by road/flat/block/… (the
@@ -112,6 +124,9 @@ _HOUSE_POSITIONAL = [
     (re.compile(rf"(?:^|,)\s*({_HOUSE_COMPOUND})\s*(?:[,(]|$)"), 0.73),
     # standalone compound "9/2(a)," / "345/3-5," / "27/A/1," before a comma
     (re.compile(rf"\b({_HOUSE_COMPOUND})\s*,"), 0.72),
+    # trailing compound at end of string: "Ahmadbag 2nd len basabo
+    # 135/3/A-1" (reference standalone bank applies at any position)
+    (re.compile(rf"(?:^|[,\s])({_HOUSE_COMPOUND})\s*\.?\s*$"), 0.71),
     # leading bare token before a comma or parenthetical ("134, South
     # Kamalapur", "269 (Quick Sultan)"): weakest — short letter-suffixed
     # leaders ("7B,") are usually flat ids
@@ -154,8 +169,6 @@ def _house_guards_ok(text: str, m, val: str, n: int) -> bool:
     # form, road_processor.py; the house bank must not eat its number)
     if re.match(r"\s*feet\b", text[m.end(1):], re.I):
         return False
-    if _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:]):
-        return False
     return True
 
 
@@ -196,8 +209,23 @@ def extract_house(text: str) -> Hit:
         # keyword immediately to the left
         if _STRUCT_BEFORE.search(text[: m.start(1)][-24:]):
             continue
+        # the institutional skip applies only to the standalone bank
+        # (reference house_number_processor.py:612-700) — an explicit
+        # keyword form like "School, 21 Bhobon" keeps the number, and a
+        # slash/dash compound ("Masjid, 5/1/H") is a holding id, not the
+        # institution's unit number
+        if ("/" not in val and "-" not in val
+                and _INSTITUTION_BEFORE.search(text[: m.start(1)][-30:])):
+            continue
         if _house_guards_ok(text, m, val, n):
             return val, conf
+    # last resort: a feet-road width number becomes the house id when NO
+    # other candidate exists ("Madani Avenue, 100 Feet Road" -> house 100
+    # in the labeled corpus; with any competing candidate the feet number
+    # stays with the road, which is why _house_guards_ok vetoes it above)
+    m = re.search(r"\b(\d{1,3})\s*(?:ty)?\s*feet\b", text, re.I)
+    if m:
+        return m.group(1), 0.70
     return None
 
 
@@ -586,7 +614,20 @@ def extract_area(text: str) -> Hit:
             cands.append((0.58, offsets[j], _area_title(prev)))
         break
 
-    if not cands:
+    if not cands or max(c[0] for c in cands) < 0.45:
+        # reference last resort: the intelligent score picks the best
+        # remaining comma-segment as the area when every bank missed
+        # (area_processor.py:965-1118); its dominant factor is position —
+        # later segments win — with structural/institution vetoes
+        for i in range(len(segs) - 1, -1, -1):
+            seg = _TAIL_PAREN.sub("", segs[i]).strip(" .-–")
+            if not (5 <= len(seg) <= 34):
+                continue
+            if not re.fullmatch(r"[A-Za-z]+(?:\s+[A-Za-z]+){0,4}", seg):
+                continue
+            if _FALLBACK_VETO.search(seg) or _CITY_SEG_RE.match(seg):
+                continue
+            return _area_title(seg), 0.66
         return None
     s, _pos, surface = max(cands, key=lambda c: (round(c[0], 3), c[1],
                                                  len(c[2])))
@@ -596,6 +637,16 @@ def extract_area(text: str) -> Hit:
 
 
 _SADAR_RE = None            # compiled after the district section below
+# vetoes for the last-resort segment fallback: structural tokens and
+# institutions that never name a locality on their own (tower/homes/stadium
+# stay allowed — the labeled corpus keeps those as the area when they are
+# the only remaining segment)
+_FALLBACK_VETO = re.compile(
+    r"\b(?:mosque|masjid|mosjid|moshjid|road|rd|lane|goli|avenue|street|"
+    r"floor|flat|block|sector|house|basa|hospital|school|madrasa|college|"
+    r"university|bank|market|bazar|bazaar|thana|upazila|union|district|"
+    r"division|post|ward|no|number|bangladesh|near|beside|opposite|side|"
+    r"lift|level)\b", re.I)
 
 
 # ------------------------------------------------------------- district
@@ -608,7 +659,7 @@ _DISTRICT_DISPLAY = {d: d.title() for d in DISTRICT_TO_DIVISION}
 _DISTRICT_DISPLAY.update({
     "cumilla": "Comilla", "bogura": "Bogra",
     "cox's bazar": "CoxsBazar", "coxs bazar": "CoxsBazar",
-    "coxsbazar": "CoxsBazar", "jashore": "Jessore",
+    "coxsbazar": "CoxsBazar",
 })
 _DISTRICT_DISPLAY.update(DISTRICT_VARIANTS)
 _DISTRICTS = sorted(_DISTRICT_DISPLAY, key=len, reverse=True)
@@ -752,6 +803,19 @@ def extract_postal(text: str) -> Hit:
         if pos >= 0.4 and any(
                 after.startswith(d) for d in DISTRICT_TO_DIVISION):
             return last.group(1), 0.85
+        # city-space-postal mid-string ("..., Dhaka 1204, Civil Chowdhury
+        # Vila"): a 4-digit immediately PRECEDED by a district name is the
+        # reference's city-postal form (postal_code_processor.py city bank)
+        before = prefix.rstrip(" ,-–").lower()
+        if pos >= 0.3 and any(
+                before.endswith(d) for d in DISTRICT_TO_DIVISION):
+            return last.group(1), 0.85
+        # postal followed by a known upazila then its district ("CUET-4349,
+        # Raozan, Chattogram") — the geo sandwich still holds
+        from .geo import UPAZILAS
+        if pos >= 0.25 and any(
+                after.startswith(u) for u in UPAZILAS):
+            return last.group(1), 0.82
         if pos >= 0.5:
             return last.group(1), 0.70
     return None
@@ -774,6 +838,10 @@ _FLAT_PATTERNS = [
     # bank's positional forms, flat_number_processor.py:617-930)
     (re.compile(r"\b(?:Floor|Level)\s*,\s*([A-Za-z]?\d{1,3}[A-Za-z]?)"
                 r"\s*(?:[,.(]|$|\bNo\b)", re.I), 0.75),
+    # parenthesized unit letter-digit right after the house compound:
+    # "House No. 586/1 (D1)" (reference flat bank's parenthetical form)
+    (re.compile(r"\d(?:/[A-Za-z0-9]+)*\s*\(\s*([A-Za-z]\d{1,2})\s*\)"),
+     0.72),
 ]
 _FLAT_STOP = {"no", "number", "num", "name", "nong"}
 
@@ -791,8 +859,11 @@ _FLOOR_PATTERNS = [
     # "Lift N" outranks an ordinal floor in the reference corpus labels
     # ("7th Floor (Lift-6)" -> floor 6; floor_number_processor.py lift bank)
     (re.compile(rf"\bLift\s*{_NO_TOK}[-:]?\s*(\d+)\b", re.I), 0.92),
-    (re.compile(r"\b(\d+(?:/[A-Za-z0-9])?)\s*(?:st|nd|rd|th)?\s*Floor\b",
-                re.I), 0.90),
+    # Bangla ordinal suffixes (৩য়/৪র্থ/৫ম) survive normalization as a
+    # Bangla letter glued to the ASCII digit ("5ম Floor"); the reference
+    # floor bank's Bangla forms (floor_number_processor.py bangla patterns)
+    (re.compile(r"\b(\d+(?:/[A-Za-z0-9])?)\s*(?:st|nd|rd|th|ম|য়|র্থ|ষ্ঠ)?"
+                r"\s*Floor(?![A-Za-z])", re.I), 0.90),
     (re.compile(rf"\bFloor\s*{_NO_TOK}[-–]?\s*([A-Za-z0-9]+)\b", re.I), 0.85),
     (re.compile(rf"\bLevel\s*{_NO_TOK}[-–]?\s*(\d+)\b", re.I), 0.80),
     # "3 tola(i)" Banglish floor ordinal (reference floor bank's tola forms)
@@ -809,6 +880,18 @@ def extract_floor(text: str) -> Hit:
 
 
 # ---------------------------------------------------------------- block
+# Bangla block letters ("ব্লক - চ" arrives as "Block - চ") map to their
+# Banglish names, mirroring the reference's bangla_to_banglish table
+# (block_processor.py:252-259)
+_BN_BLOCK_LETTERS = {
+    "চ": "Cha", "ক": "Ka", "গ": "Ga", "জ": "Ja", "ড": "Da",
+    "প": "Pa", "ব": "Ba", "ম": "Ma", "র": "Ra", "ল": "La",
+    "এ": "A", "ই": "E", "খ": "Kha", "ছ": "Cha", "ঠ": "Tha",
+    "থ": "Tha", "ফ": "Pha", "ভ": "Bha", "শ": "Sha", "স": "Sa", "হ": "Ha",
+}
+_BLOCK_BN_RE = re.compile(
+    r"\bBlock\s*(?:(?:No|Number)\.?\s*)?[-–]?\s*([" +
+    "".join(_BN_BLOCK_LETTERS) + r"])(?![ঀ-৿A-Za-z0-9])")
 _BLOCK_PATTERNS = [
     (re.compile(rf"\bBlock\s*{_NO_TOK}[-–]?\s*([A-Za-z0-9]+)\b", re.I), 0.90),
     (re.compile(rf"\b(?:Sector|Section|Sec)\s*{_NO_TOK}[-–]?\s*"
@@ -819,6 +902,9 @@ _BLOCK_STOP = _FLAT_STOP
 
 
 def extract_block(text: str) -> Hit:
+    m = _BLOCK_BN_RE.search(text)
+    if m:
+        return _BN_BLOCK_LETTERS[m.group(1)], 0.92
     for rx, conf in _BLOCK_PATTERNS:
         m = rx.search(text)
         if m and m.group(1).lower() not in _BLOCK_STOP:

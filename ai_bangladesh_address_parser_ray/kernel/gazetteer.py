@@ -246,7 +246,13 @@ DISTRICT_VARIANTS: Dict[str, str] = {
     "cox's bazar": "CoxsBazar", "coxs bazar": "CoxsBazar",
     "coxsbazar": "CoxsBazar", "cox bazar": "CoxsBazar",
     "coxs bazaar": "CoxsBazar", "cox bazaar": "CoxsBazar",
-    "jashore": "Jessore", "jessor": "Jessore",
+    # surface-preserving: the reference's english_cities list carries both
+    # Jashore and Jessore and returns the matched spelling
+    # (district_processor.py:308); jashore must therefore NOT canonicalize
+    # to Jessore
+    "jashore": "Jashore", "jessor": "Jessore",
+    # truncated "ঢাক" typo (district_processor.py:344)
+    "ঢাক": "Dhaka",
     "chapainawabganj": "Chapainawabganj", "nawabganj": "Chapainawabganj",
     "jhalokathi": "Jhalokati",
     "khagrachari": "Khagrachhari",

@@ -49,7 +49,8 @@ BN_PLACES = [
 
 BN_KEYWORDS = [
     ("রোড", "Road"), ("বাড়ি", "House"), ("বাসা", "House"), ("বাড়ী", "House"),
-    ("ফ্ল্যাট", "Flat"), ("তলা", "Floor"), ("ব্লক", "Block"),
+    ("ফ্ল্যাট", "Flat"), ("তলায়", "Floor"), ("তলা", "Floor"),
+    ("ব্লক", "Block"),
     ("লেন", "Lane"), ("গলি", "Lane"), ("নং", "No"), ("নাম্বার", "No"),
     ("নম্বর", "No"),
     ("লেইন", "Lane"), ("স্ট্রিট", "Street"), ("সড়ক", "Road"),
