@@ -220,6 +220,61 @@ class TestExtractors:
         assert c["house_number"] == "4192"
         assert c["postal_code"] == "4100"  # gazetteer-predicted for Agrabad
 
+    def test_bangla_ordinal_floor(self):
+        # ৫ম/৩য়/৪র্থ ordinals survive normalization as a Bangla suffix
+        # glued to the ASCII digit; তলায় is the locative of তলা
+        c = extract("বাড়ি নং ৩৭, ৫ম তলা, রোড নং ১৪, উত্তরা, ঢাকা")["components"]
+        assert c["floor_number"] == "5"
+        c = extract("কন্সট্রাকশন বিল্ডিং এর ৪র্থ তলায়")["components"]
+        assert c["floor_number"] == "4"
+
+    def test_bangla_block_letter(self):
+        # "ব্লক - চ" maps to the Banglish letter name, and the explicit
+        # marker outranks a nearby house compound's digits
+        c = extract("৫৭/৫৮ ব্লক - চ, মিরপুর, ঢাকা- ১২১৬")["components"]
+        assert c["block_number"] == "Cha"
+        assert c["house_number"] == "57/58"
+
+    def test_truncated_dhak_district(self):
+        # the reference handles the incomplete "ঢাক" typo explicitly
+        c = extract("মানডা মুগদা হিরো মিয়া রোড, ঢাক")["components"]
+        assert c["district"] == "Dhaka"
+        assert c["division"] == "Dhaka"
+
+    def test_jashore_surface_preserved(self):
+        # english_cities carries BOTH spellings and returns the matched one
+        assert extract("Chowgachha, Jashore")["components"]["district"] \
+            == "Jashore"
+        assert extract("Chowgachha, Jessore")["components"]["district"] \
+            == "Jessore"
+
+    def test_postal_city_before(self):
+        # city-space-postal mid-string: district name right BEFORE the code
+        c = extract("Hori Charan Roy Road, Gendaria Thana, Dhaka 1204, "
+                    "Civil Chowdhury Vila 3-C")["components"]
+        assert c["postal_code"] == "1204"
+
+    def test_storey_building_house(self):
+        c = extract("2nd 12-Storey Govt Office Building, 10th Floor, "
+                    "Segunbagicha, Dhaka")["components"]
+        assert c["house_number"] == "12-Storey"
+        assert c["floor_number"] == "10"
+
+    def test_feet_road_last_resort_house(self):
+        # with no other candidate the feet number is the house id...
+        c = extract("Madani Avenue, 100 Feet Road, Vatara, Dhaka 1212")
+        assert c["components"]["house_number"] == "100"
+        # ...but any competing candidate keeps it with the road
+        c = extract("House Number 47, 60 Feet, Mirpur")["components"]
+        assert c["house_number"] == "47"
+
+    def test_area_last_segment_fallback(self):
+        # when every area bank misses, the last clean comma-segment wins
+        # (reference intelligent score); structural segments are skipped
+        c = extract("Dhaka, Kamrangir Char er pasa, Jawlahati more, "
+                    "Zamzam Tower")["components"]
+        assert c["area"] == "Zamzam Tower"
+
     def test_postal_inferred_from_area(self):
         c = extract("Banani, Dhaka")["components"]
         assert c["postal_code"] == "1213"
