@@ -625,6 +625,11 @@ def extract_area(text: str) -> Hit:
                 continue
             if not re.fullmatch(r"[A-Za-z]+(?:\s+[A-Za-z]+){0,4}", seg):
                 continue
+            # proper-noun gate: place names carry a capital; an all-
+            # lowercase segment is conversational filler, not a locality
+            # (keeps the fallback silent on non-address turns)
+            if not re.search(r"\b[A-Z]", seg):
+                continue
             if _FALLBACK_VETO.search(seg) or _CITY_SEG_RE.match(seg):
                 continue
             return _area_title(seg), 0.66
