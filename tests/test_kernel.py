@@ -275,6 +275,15 @@ class TestExtractors:
                     "Zamzam Tower")["components"]
         assert c["area"] == "Zamzam Tower"
 
+    def test_fallback_silent_on_conversational_filler(self):
+        # the segment fallback must not invent localities on non-address
+        # turns: all-lowercase filler stays component-free
+        for filler in ("it about me thanks that",
+                       "status are job me nominal",
+                       "you details share we thanks, issue finished okay"):
+            comp = extract(filler)["components"]
+            assert not any(comp.values()), (filler, comp)
+
     def test_postal_inferred_from_area(self):
         c = extract("Banani, Dhaka")["components"]
         assert c["postal_code"] == "1213"
