@@ -172,7 +172,14 @@ def _token_hashes_batch(text_col_arr):
     """Flat uint64 token-hash array + per-doc offsets for a batch's text
     column — ALL vectorized: Arrow lower/split_whitespace, ONE polars
     xxhash call over every token in the batch. The shared front end of
-    minhash banding and exact shingle-set building (same hash basis)."""
+    minhash banding and exact shingle-set building (same hash basis).
+
+    ``utf8_split_whitespace`` emits a "" fragment for a leading blank and
+    for empty/whitespace-only docs; the scalar basis (``word_shingles``'s
+    ``str.split()``) does not — drop those tokens and contract the per-doc
+    offsets, or empty docs grow phantom shingles (and an all-short trailing
+    batch can leave ``token_ngram_hashes`` with an empty n-gram window to
+    index — the hypothesis-found crash)."""
     import polars as pl
     import pyarrow.compute as pc
 
@@ -180,11 +187,18 @@ def _token_hashes_batch(text_col_arr):
         pc.utf8_lower(pc.fill_null(text_col_arr, "")))
     la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     offsets = la.offsets.to_numpy().astype(np.int64)
+    offsets = offsets - offsets[0]   # sliced list arrays start past 0
     flat = la.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0) \
+        .to_numpy(zero_copy_only=False)
+    if not keep.all():
+        csum = np.zeros(len(keep) + 1, np.int64)
+        np.cumsum(keep, out=csum[1:])
+        offsets = csum[offsets]
+        flat = flat.filter(pa.array(keep))
     th = (pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
           if len(flat) else np.empty(0, np.uint64))
-    # a sliced list array's offsets need not start at 0
-    return th, offsets - offsets[0]
+    return th, offsets
 
 
 def _minhash_bands_batch(batch: pa.Table, text_col, id_col, num_hashes,
@@ -490,8 +504,8 @@ def _shingle_hash_sets(ds, text_col: str, id_col: str, shingle_n: int):
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pair_jaccards(sa_list, sb_list, threshold: float):
-    """Exact Jaccard per (sorted-unique uint64 set) pair + keep mask.
+def _pair_jaccards(sa_list, sb_list):
+    """Exact Jaccard per (sorted-unique uint64 set) pair.
     int/int division: bit-identical to the SQL oracle, no rounding."""
     n = len(sa_list)
     jac = np.empty(n, np.float64)
@@ -566,7 +580,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 bi = np.searchsorted(sids, b)
                 jac = _pair_jaccards(
                     [svals[soffs[j]:soffs[j + 1]] for j in ai],
-                    [svals[soffs[j]:soffs[j + 1]] for j in bi], threshold)
+                    [svals[soffs[j]:soffs[j + 1]] for j in bi])
                 out = batch.select(["a_id", "b_id"]).append_column(
                     "jaccard", pa.array(jac, pa.float64()))
                 return out.filter(
@@ -587,7 +601,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         b_blobs = batch["_b_sh"].to_pylist()
         jac = _pair_jaccards(
             [np.frombuffer(x or b"", np.uint64) for x in a_blobs],
-            [np.frombuffer(x or b"", np.uint64) for x in b_blobs], threshold)
+            [np.frombuffer(x or b"", np.uint64) for x in b_blobs])
         out = batch.select(["a_id", "b_id"]).append_column(
             "jaccard", pa.array(jac, pa.float64()))
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
@@ -625,7 +639,17 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             else toks
         offs = la.offsets.to_numpy().astype(np.int64)
         offs = offs - offs[0]
-        flat = la.flatten().to_pylist()
+        flat_arr = la.flatten()
+        # drop the "" fragments split_whitespace emits for leading blanks /
+        # empty docs — simhash64's str.split() basis never sees them
+        keep = pc.greater(pc.utf8_length(flat_arr), 0) \
+            .to_numpy(zero_copy_only=False)
+        if not keep.all():
+            csum = np.zeros(len(keep) + 1, np.int64)
+            np.cumsum(keep, out=csum[1:])
+            offs = csum[offs]
+            flat_arr = flat_arr.filter(pa.array(keep))
+        flat = flat_arr.to_pylist()
         fps = np.zeros(n, np.uint64)
         if flat:
             uniq, inv = np.unique(np.asarray(flat, object),

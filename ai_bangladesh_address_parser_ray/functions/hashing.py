@@ -118,7 +118,13 @@ def token_ngram_hashes(th: np.ndarray, offsets: np.ndarray, n: int = 3):
     intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1],
                                                          out_lens)
     src = np.repeat(offsets[:-1], out_lens) + intra
-    vals = v_full[np.minimum(src, max(len(v_full) - 1, 0))]
+    if len(v_full):
+        vals = v_full[np.minimum(src, len(v_full) - 1)]
+    else:
+        # every doc in the batch is shorter than n: the short-doc loop
+        # below overwrites every output slot (clamped gather would index
+        # an empty array)
+        vals = np.zeros(total, _U64)
     # overwrite the (rare) short docs: one combined hash over m < n tokens
     short = np.flatnonzero((lens > 0) & (lens < n))
     for d in short:
