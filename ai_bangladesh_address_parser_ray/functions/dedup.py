@@ -25,8 +25,8 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
-from .hashing import (estimate_jaccard, md5_hex, minhash_params, mix64,
-                      stable_u64, token_ngram_hashes)
+from .hashing import (md5_hex, minhash_params, mix64, stable_u64,
+                      token_ngram_hashes)
 
 # per-worker token-hash memo for the simhash fingerprint stage: Zipfian
 # vocab means most tokens repeat across batches; capped so an adversarial
@@ -553,8 +553,12 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n_docs = ds.count()
     if n_docs <= broadcast_limit:
-        tbl = pa.concat_tables(
+        set_batches = list(
             sets.iter_batches(batch_format="pyarrow", batch_size=8192))
+        # an empty corpus yields ZERO batches; concat_tables requires >= 1
+        tbl = pa.concat_tables(set_batches) if set_batches else pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "_sh": pa.array([], pa.binary())})
         ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         if np.issubdtype(ids.dtype, np.integer):
             order = np.argsort(ids, kind="stable")
@@ -1001,8 +1005,13 @@ def near_dup_clusters(ds, text_col: str = "text", id_col: str = "doc_id",
         # labels cover near-dup docs only (<= 2 x edges nodes): broadcast
         # the sorted (id, label) arrays once and attach by searchsorted —
         # no join shuffle over the corpus, which streams untouched
-        lab = pa.concat_tables(
+        lab_batches = list(
             labels.iter_batches(batch_format="pyarrow", batch_size=65536))
+        # zero edges (no near-dups at all) -> zero label batches; every doc
+        # must still come back as its own singleton cluster with keep=1
+        lab = pa.concat_tables(lab_batches) if lab_batches else pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "_cc_label": pa.array([], pa.int64())})
         lids = lab[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
             if lab.num_rows else np.empty(0, np.int64)
         llab = lab["_cc_label"].combine_chunks().to_numpy(

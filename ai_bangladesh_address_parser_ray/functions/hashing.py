@@ -74,6 +74,19 @@ _MIX_P = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
           np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5))
 
 
+def _mix_consts(n: int) -> tuple:
+    """Per-position odd multipliers for n-gram hash combination. The first
+    four are the fixed public constants (hash stability for the default
+    n <= 4); wider shingles extend deterministically via mix64 of the
+    position — ``word_shingles`` accepted any n, so this path must too."""
+    if n <= len(_MIX_P):
+        return _MIX_P[:n]
+    extra = tuple(
+        np.uint64(int(mix64(np.uint64(j))) | 1)
+        for j in range(len(_MIX_P), n))
+    return _MIX_P + extra
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer, vectorized over uint64 (public constant-set
     mixer; avalanche-quality keys from structured inputs)."""
@@ -110,10 +123,11 @@ def token_ngram_hashes(th: np.ndarray, offsets: np.ndarray, n: int = 3):
     if total == 0:
         return np.empty(0, np.uint64), out_offs
     T = len(th)
+    P = _mix_consts(n)
     with np.errstate(over="ignore"):
-        v_full = th[:max(T - (n - 1), 0)] * _MIX_P[0]
+        v_full = th[:max(T - (n - 1), 0)] * P[0]
         for j in range(1, n):
-            v_full = v_full + th[j:T - (n - 1) + j] * _MIX_P[j]
+            v_full = v_full + th[j:T - (n - 1) + j] * P[j]
     # ragged gather: output position k of doc d reads v_full[start_d + r]
     intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1],
                                                          out_lens)
@@ -131,7 +145,7 @@ def token_ngram_hashes(th: np.ndarray, offsets: np.ndarray, n: int = 3):
         with np.errstate(over="ignore"):
             acc = np.uint64(0)
             for j in range(int(lens[d])):
-                acc = acc + th[offsets[d] + j] * _MIX_P[j]
+                acc = acc + th[offsets[d] + j] * P[j]
         vals[out_offs[d]] = acc
     return mix64(vals), out_offs
 

@@ -148,6 +148,59 @@ class TestDedup:
         assert len(out) == 4
         assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
 
+    def test_near_dup_clusters_all_distinct_corpus(self, ray_session):
+        """Regression: ZERO near-dup edges (the common all-distinct case)
+        crashed the broadcast-label path on concat of zero batches; every
+        doc must come back as its own keep=1 singleton."""
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            near_dup_clusters)
+        import ray.data
+        docs = pd.DataFrame({
+            "doc_id": [5, 9, 2],
+            "text": ["alpha bravo charlie delta echo",
+                     "one two three four five six",
+                     "red green blue yellow purple"],
+        })
+        out = near_dup_clusters(ray.data.from_pandas(docs), threshold=0.7,
+                                num_partitions=2).to_pandas()
+        out = out.set_index("doc_id")
+        assert len(out) == 3
+        assert (out["keep"] == 1).all()
+        assert (out["cluster_id"] == out.index).all()
+
+    def test_ngram_and_clusters_on_empty_corpus(self, ray_session):
+        """Regression: a fully-filtered (0-row) corpus yielded zero
+        batches into the broadcast set-attach concat."""
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            near_dup_clusters, ngram_jaccard_pairs)
+        import ray.data
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")}))
+        assert ngram_jaccard_pairs(empty, num_partitions=2).count() == 0
+        assert near_dup_clusters(empty, num_partitions=2).count() == 0
+
+    def test_wide_shingles_supported(self, ray_session, docs_df):
+        """shingle_n wider than the fixed mixer-constant set (n > 4) must
+        work — word_shingles accepted any n, so the vectorized path must
+        too (the extended constants derive deterministically)."""
+        from ai_bangladesh_address_parser_ray.functions.dedup import (
+            ngram_jaccard_pairs)
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            exact_jaccard)
+        import ray.data
+        sub = docs_df.head(80)
+        got = ngram_jaccard_pairs(ray.data.from_pandas(sub), threshold=0.6,
+                                  shingle_n=6, num_partitions=2).to_pandas()
+        recs = sub[["doc_id", "text"]].values
+        exp = set()
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if exact_jaccard(recs[i][1], recs[j][1], 6) >= 0.6:
+                    exp.add(tuple(sorted((int(recs[i][0]),
+                                          int(recs[j][0])))))
+        assert {(a, b) for a, b in zip(got["a_id"], got["b_id"])} == exp
+
     def test_distinct_rows_sparse_after_heavy_filter(self, ray_session):
         """Regression: a heavily-filtered corpus (most blocks empty, few
         survivors) must still dedup — the old winners-join formulation

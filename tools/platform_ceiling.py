@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SECONDS = 10.0
 CAP_PER_PROC = 200_000   # texts per worker: bounds every leg's wall time
 _SHARD = None   # full corpus, set once per worker by the pool initializer
+_BARRIER = None  # aligns workers so only the extract loop is timed
 
 
 def _corpus():
@@ -61,30 +62,37 @@ def _corpus():
             ["text"].to_pylist())
 
 
-def _init(texts, n_procs):
-    global _SHARD
+def _init(texts, barrier):
+    global _SHARD, _BARRIER
     _SHARD = texts
+    _BARRIER = barrier
 
 
 def _kernel_work(args):
     """ONE pass over this worker's distinct corpus shard — same distinct
     ratio, memo hit rate, and allocation traffic as a pipeline worker.
-    Normalization is done untimed first (the pipeline normalizes in a
-    separate vectorized Arrow stage; the kernel runs pre_normalized)."""
+    Normalization runs UNTIMED (the pipeline normalizes in a separate
+    vectorized Arrow stage; the kernel runs pre_normalized), then every
+    worker waits on a barrier so all extract loops start together — the
+    returned per-worker elapsed covers ONLY the kernel under full
+    contention. An earlier version timed the whole pool map, which blended
+    normalize scaling into the reported kernel ceiling."""
     idx, n_procs = args
     from ai_bangladesh_address_parser_ray.kernel.extract import ExtractionKernel
     from ai_bangladesh_address_parser_ray.kernel.normalizer import normalize
     texts = [normalize(t or "")
              for t in _SHARD[idx::n_procs][:CAP_PER_PROC]]
     k = ExtractionKernel()
+    _BARRIER.wait()
     t0 = time.time()
     for t in texts:
         k.extract(t, pre_normalized=True)
-    return len(texts)
+    return len(texts), time.time() - t0
 
 
 def _numpy_work(args):
     import numpy as np
+    _BARRIER.wait()
     t0 = time.time()
     n = 0
     s = "House 12, Road 5, Dhanmondi, Dhaka 1209"
@@ -93,14 +101,19 @@ def _numpy_work(args):
             "".join(c.lower() for c in s if c.isalnum())
             np.sort(np.random.default_rng(1).integers(0, 1000, 500))
         n += 200
-    return n
+    return n, time.time() - t0
 
 
 def _rate(fn, procs: int, texts) -> float:
-    with mp.Pool(procs, initializer=_init, initargs=(texts, procs)) as p:
-        t0 = time.time()
-        total = sum(p.map(fn, [(i, procs) for i in range(procs)]))
-        return total / (time.time() - t0)
+    """items/sec across ``procs`` workers, timing only the barrier-aligned
+    work section: total items / slowest worker's timed elapsed. Exactly
+    ``procs`` map items over ``procs`` workers (chunksize 1), so every
+    worker reaches the barrier once and the pool cannot deadlock."""
+    barrier = mp.Barrier(procs)
+    with mp.Pool(procs, initializer=_init, initargs=(texts, barrier)) as p:
+        res = p.map(fn, [(i, procs) for i in range(procs)], chunksize=1)
+    total = sum(n for n, _ in res)
+    return total / max(e for _, e in res)
 
 
 def main():
