@@ -465,8 +465,12 @@ def unshipped_revenue_topk(lineitem_ds, orders_ds, customer: pa.Table,
                                    zero_copy_batch=True).materialize()
 
     if orders.count() <= broadcast_limit:
-        otbl = pa.concat_tables(
-            b for b in orders.iter_batches(batch_format="pyarrow"))
+        obatches = list(orders.iter_batches(batch_format="pyarrow"))
+        # segment x date can filter EVERY order out -> zero batches
+        otbl = pa.concat_tables(obatches) if obatches else pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.string()),
+            "o_orderpriority": pa.array([], pa.string())})
         okeys = otbl["o_orderkey"].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
         order_sort = np.argsort(okeys, kind="stable")

@@ -282,11 +282,14 @@ def knn_ivf(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
     ~``n_lists/nprobe``-fold vs brute force. Recall < 1 by design; output
     schema matches :func:`knn_brute`."""
     q = np.asarray(query_matrix, dtype=np.float64)
+    train_batches = list(
+        ds.select_columns(["embedding"]).limit(train_size)
+        .iter_batches(batch_format="pyarrow"))
+    if not train_batches:          # empty corpus: nothing to index
+        return _EMPTY_TOPK
     sample = _vecs_from_col(
-        pa.concat_tables(
-            ds.select_columns(["embedding"]).limit(train_size)
-            .iter_batches(batch_format="pyarrow"),
-            promote_options="default")["embedding"])
+        pa.concat_tables(train_batches,
+                         promote_options="default")["embedding"])
     cent = _kmeans_spherical(sample, n_lists)
     qn = _normalize(q)
     # nprobe nearest lists per query -> probe map {list_id: [query_idx]}

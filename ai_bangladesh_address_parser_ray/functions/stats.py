@@ -79,8 +79,18 @@ def rollup_counts(ds, keys: list[str], alias: str = "n"):
     from ray.data.aggregate import Count
 
     finest_ds = ds.groupby(keys).aggregate(Count(alias_name=alias))
-    finest = pa.concat_tables(
-        ds_b for ds_b in finest_ds.iter_batches(batch_format="pyarrow"))
+    fbatches = list(finest_ds.iter_batches(batch_format="pyarrow"))
+    if fbatches:
+        finest = pa.concat_tables(fbatches)
+    else:
+        # empty input -> zero aggregate batches; SQL ROLLUP still emits
+        # the grand-total row (count 0), which the depth-0 level below
+        # derives from this typed empty finest
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        finest = pa.table({
+            **{c: pa.array([], types[c]) for c in keys},
+            alias: pa.array([], pa.int64())})
     levels = [finest]
     for depth in range(len(keys) - 1, -1, -1):
         kept = keys[:depth]

@@ -514,6 +514,20 @@ class TestSimilarity:
                 assert abs(r.score - round(brute_all[(r.query_id,
                                                       r.neighbor_id)], 6)) < 1e-6
 
+    def test_knn_ivf_empty_corpus(self, ray_session, emb_df):
+        """Regression: an empty corpus yielded zero train batches into the
+        centroid-sample concat."""
+        from ai_bangladesh_address_parser_ray.functions.similarity import (
+            knn_ivf)
+        import ray.data
+        empty = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "embedding": pd.Series([], dtype="object")}))
+        mat = np.asarray([np.asarray(v, np.float64)
+                          for v in emb_df.embedding.head(2)])
+        out = knn_ivf(empty, mat, emb_df.vec_id.head(2).tolist(), k=3)
+        assert out.num_rows == 0
+
 
 # ------------------------------------------------------ text analysis ----
 

@@ -245,6 +245,31 @@ class TestTpchShapes:
         hashj = run(0)                       # force the hash-join path
         assert_frame_equal(_norm(bcast), _norm(hashj), check_dtype=False)
 
+    def test_unshipped_no_surviving_orders(self, ray_session):
+        """Regression: a segment x date filter that kills EVERY order left
+        the broadcast path concatenating zero batches."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.relational import (
+            unshipped_revenue_topk,
+        )
+        li = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+        od = ray.data.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"])
+        cu = pq.read_table(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+        # cutoff before every order date -> zero survivors
+        cutoff = int(np.datetime64("1970-01-02", "us").astype(np.int64))
+        out = unshipped_revenue_topk(li, od, cu, segment="BUILDING",
+                                     cutoff_us=cutoff, k=10).to_pandas()
+        assert len(out) == 0
+
 
 class TestSlidingWindow:
     def test_matches_sql(self, ray_session):

@@ -279,6 +279,20 @@ class TestRollupPivot:
         lvl2 = out[out["b"].notna()]["n"].sum()
         assert grand == lvl1 == lvl2 == 3
 
+    def test_rollup_empty_input(self, ray_session):
+        """Regression: an empty input yielded zero aggregate batches into
+        the finest-level concat; SQL ROLLUP still emits the grand-total
+        row with count 0."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.functions.stats import (
+            rollup_counts)
+        t = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string())})
+        out = rollup_counts(ray.data.from_arrow(t), ["a", "b"]).to_pandas()
+        assert len(out) == 1
+        assert out["a"].isna().all() and out["b"].isna().all()
+        assert out["n"].iloc[0] == 0
+
     def test_pivot_vs_duckdb(self, ray_session):
         import ray.data
         from ai_bangladesh_address_parser_ray.functions.stats import (
