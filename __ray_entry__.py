@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn,
         "embedding_dup_pairs": _q_embedding_dups,
         "ngram_dup_pairs": _q_ngram_dups,
+        "simhash_dup_pairs": _q_simhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "contamination_pairs": _q_contamination,
         "training_corpus": _q_training_corpus,
@@ -719,7 +720,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage,
         "validate_format_turns": _q_validate_format_turns,
         "minhash_dup_pairs": _q_minhash,
-        "simhash_dup_pairs": _q_simhash,
         "knn_ann_topk": _q_knn_ann,
         "gazetteer_dim": _q_gazetteer_dim,
         "media_decode_stats": _q_media_decode,
@@ -936,6 +936,35 @@ def oracle_sql() -> dict[str, str]:
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),
+        # SimHash is SQL-expressible because the token hash IS DuckDB's
+        # md5_number_lower (hashing.md5_low64); band blocking is lossless
+        # for hamming<=3 < 4 bands (pigeonhole), so the Ray pair set equals
+        # the exact all-pairs Hamming join below. oversized=0: the cap
+        # (1024 distinct fps/band) is never hit at oracle scale.
+        "simhash_dup_pairs": (r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, md5_number_lower(t)::UBIGINT AS hv FROM tok
+), bits AS (
+  SELECT doc_id, j,
+    SUM(((hv >> j::UBIGINT) & 1::UBIGINT)::BIGINT) AS ones, COUNT(*) AS n
+  FROM h, range(64) r(j) GROUP BY doc_id, j
+), fpx AS (
+  SELECT doc_id, SUM(CASE WHEN 2 * ones > n THEN power(2, j)::HUGEINT
+                          ELSE 0::HUGEINT END)::UBIGINT AS f
+  FROM bits GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, COALESCE(fpx.f, 0::UBIGINT) AS f
+  FROM documents d LEFT JOIN fpx USING (doc_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming,
+  0 AS oversized
+FROM fp a, fp b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3"""),
         # flagship corpus hygiene: quality >= tau AND no shared 3-gram with
         # the benchmark split AND min-id representative per distinct text.
         # quality arithmetic is byte-identical to the quality_docs oracle,

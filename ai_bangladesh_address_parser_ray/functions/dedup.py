@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
-from .hashing import (md5_hex, minhash_params, mix64, stable_u64,
+from .hashing import (md5_hex, md5_low64, minhash_params, mix64, stable_u64,
                       token_ngram_hashes)
 
 # per-worker token-hash memo for the simhash fingerprint stage: Zipfian
@@ -37,7 +37,7 @@ _TOK_HASH_CACHE: dict = {}
 def _tok_hash(t: str) -> int:
     h = _TOK_HASH_CACHE.get(t)
     if h is None:
-        h = stable_u64(t.encode("utf-8"))
+        h = md5_low64(t.encode("utf-8"))
         if len(_TOK_HASH_CACHE) < (1 << 20):
             _TOK_HASH_CACHE[t] = h
     return h

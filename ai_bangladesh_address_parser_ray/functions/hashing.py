@@ -31,6 +31,16 @@ def stable_u64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
 
+def md5_low64(data: bytes) -> int:
+    """Low 8 bytes of md5, little-endian.
+
+    Chosen as the simhash token-hash basis because it is exactly DuckDB's
+    ``md5_number_lower`` — which makes the whole simhash fingerprint (and
+    therefore the Hamming pair join) SQL-expressible for the oracle gate.
+    """
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
 def word_shingles(text: str, n: int = 3) -> list:
     """Word n-gram shingles of a lowercased, whitespace-split document."""
     toks = text.lower().split()
@@ -180,11 +190,15 @@ def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """Charikar SimHash over word-unigram crc32-seeded 64-bit hashes."""
+    """Charikar SimHash over word-unigram md5-low64 token hashes.
+
+    Token hash = :func:`md5_low64` (== DuckDB ``md5_number_lower``), so the
+    fingerprint — and the Hamming<=k pair set — has an exact SQL twin.
+    """
     toks = text.lower().split()
     if not toks:
         return 0
-    h = np.array([stable_u64(t.encode("utf-8")) for t in toks], dtype=_U64)
+    h = np.array([md5_low64(t.encode("utf-8")) for t in toks], dtype=_U64)
     bits = ((h[:, None] >> np.arange(64, dtype=_U64)[None, :])
             & _U64(1)).astype(np.int64)
     votes = bits.sum(axis=0) * 2 - len(toks)          # (+1/-1 per token)

@@ -60,6 +60,19 @@ class TestHashing:
         assert hamming64(simhash64(t), simhash64(t2)) < \
             hamming64(simhash64(t), simhash64(t3))
 
+    def test_md5_low64_matches_duckdb_md5_number_lower(self):
+        # the simhash token-hash contract: md5_low64 IS DuckDB's
+        # md5_number_lower, which is what makes the simhash_dup_pairs
+        # oracle SQL an exact twin of the Ray fingerprint
+        import duckdb
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            md5_low64)
+        con = duckdb.connect()
+        for t in ["hello", "দহকা", "", "mixed ১২৩ text", "x" * 100]:
+            want = con.execute(
+                "SELECT md5_number_lower(?)::UBIGINT", [t]).fetchone()[0]
+            assert md5_low64(t.encode("utf-8")) == want
+
     def test_winnow_stable_under_local_edit(self):
         from ai_bangladesh_address_parser_ray.functions.hashing import (
             winnow_fingerprint)
