@@ -266,6 +266,16 @@ def _q_langid(sf_dir):
     return F_text.lang_id(_read(sf_dir, "documents"))
 
 
+def _q_repetition(sf_dir):
+    return F_text.repetition_stats(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _q_pii_redact(sf_dir):
+    return F_text.pii_redact(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def _q_fingerprints(sf_dir):
     return F_text.fingerprints(_read(sf_dir, "documents"))
 
@@ -711,11 +721,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_qty_discount": _q_lineitem_corr,
         "user_mode_event": _q_user_mode_event,
         "top_terms_per_lang": _q_top_terms,
+        "repetition_docs": _q_repetition,
         # rows-only (stateful / model / iterative — no SQL equivalent).
         # Order matters: the driver records the FIRST 50 queries in
-        # CORRECTNESS_r{N}; entries 38-50 are one representative per
+        # CORRECTNESS_r{N}; entries 40-50 are one representative per
         # rows-only operator family, and everything past the cap is a
-        # variant of an already-recorded family (VERDICT r3 #7).
+        # variant of an already-recorded family (VERDICT r3 #7) —
+        # component_distributions sits past the cap because corpus_stats
+        # already represents the A1 statistics family, and pii_redact_docs
+        # (SQL-oracled) is covered by the local gate at both scales.
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
         "validate_format_turns": _q_validate_format_turns,
@@ -724,11 +738,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_dim": _q_gazetteer_dim,
         "media_decode_stats": _q_media_decode,
         "geo_enrich_turns": _q_geo_enrich,
-        "component_distributions": _q_component_distributions,
         "corpus_stats": _q_corpus_stats,
         "suggest_areas_topk": _q_suggest,
         "compare_adjacent_mentions": _q_compare_adjacent,
         # ---- past the 50-query recording cap: family-covered variants ----
+        "pii_redact_docs": _q_pii_redact,
+        "component_distributions": _q_component_distributions,
         "extract_turn_components": _q_extract,
         "extract_detailed_turns": _q_extract_detailed,
         "doc_fingerprints": _q_fingerprints,
@@ -1027,6 +1042,67 @@ SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
        THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""),
         "lang_id_docs": _lang_id_sql(),
+        # Gopher-style repetition signals: exact integer counts per
+        # (doc, word) / (doc, bigram), one IEEE division each — the same
+        # operand order as the Ray kernel, so doubles are bit-identical
+        "repetition_docs": (r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS t
+  FROM documents
+), wc AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+), w AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS u
+  FROM wc GROUP BY doc_id
+), tk AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tks
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+    i -> tks[i] || ' ' || tks[i+1])) AS b
+  FROM tk WHERE len(tks) >= 2
+), bc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), bagg AS (
+  SELECT doc_id, SUM(c) AS nb, MAX(c) AS bmx FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(w.n, 0) AS n_tokens,
+  CAST(COALESCE(w.u, 0) AS DOUBLE)
+    / greatest(COALESCE(w.n, 0), 1) AS unique_ratio,
+  CAST(COALESCE(w.mx, 0) AS DOUBLE)
+    / greatest(COALESCE(w.n, 0), 1) AS top_word_frac,
+  CAST(COALESCE(bagg.bmx, 0) AS DOUBLE)
+    / greatest(COALESCE(bagg.nb, 0), 1) AS top_bigram_frac
+FROM documents d
+LEFT JOIN w USING (doc_id) LEFT JOIN bagg USING (doc_id)"""),
+        # PII scrub twin: same RE2 patterns, same url->email->phone order,
+        # counts taken on the same intermediate string as the Ray kernel
+        "pii_redact_docs": (r"""
+WITH s0 AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+    regexp_replace(t, 'https?://[^\s]+', '[URL]', 'g') AS t
+  FROM s0
+), s2 AS (
+  SELECT doc_id, n_urls,
+    len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+    regexp_replace(t,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+      '[EMAIL]', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t, '\+?[0-9][0-9 \-]{7,}[0-9]', '[PHONE]', 'g')
+    AS clean_text,
+  n_urls, n_emails,
+  len(regexp_extract_all(t, '\+?[0-9][0-9 \-]{7,}[0-9]')) AS n_phones
+FROM s2"""),
         "customer_revenue_topk": (
             "SELECT o.o_custkey, "
             "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) "

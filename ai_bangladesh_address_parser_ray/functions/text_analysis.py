@@ -268,3 +268,123 @@ def top_terms_per_group(ds, text_col: str = "text", group_col: str = "lang",
                         Sum("df", alias_name="df")))
     return grouped_topk(vocab, group_col, "tf", "term", k=k,
                         payload=["df"])
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition / boilerplate signals per document:
+    (id, n_tokens, unique_ratio, top_word_frac, top_bigram_frac).
+
+    The standard pre-training quality gates (Rae et al. 2021 "Scaling
+    Language Models" §A1.1, public) — a document whose single most
+    frequent word or bigram dominates its token stream is boilerplate.
+
+    Scale shape: per-batch Arrow tokenize (lower + split_whitespace) into
+    one flat token array with doc offsets, then ONE polars group_by over
+    (doc, token) and (doc, bigram) — no Python per row, no shuffle at all
+    (every signal is doc-local; the operator is embarrassingly parallel).
+    Ratios are single IEEE divisions of exact integer counts in a fixed
+    operand order, so the DuckDB oracle (same expression) is bit-identical.
+    """
+    import numpy as np
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        n = batch.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = la.flatten()
+        # drop the "" fragments split_whitespace emits for leading blanks /
+        # empty docs (same contraction as the dedup tokenizers)
+        keep = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        if not keep.all():
+            csum = np.zeros(len(keep) + 1, np.int64)
+            np.cumsum(keep, out=csum[1:])
+            offs = csum[offs]
+            flat = flat.filter(pa.array(keep))
+        m = len(flat)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        n_tok = np.zeros(n, np.int64)
+        uniq = np.zeros(n, np.int64)
+        wmax = np.zeros(n, np.int64)
+        if m:
+            wc = (pl.DataFrame({"d": doc_idx, "t": pl.from_arrow(flat)})
+                  .group_by(["d", "t"])
+                  .len()
+                  .group_by("d")
+                  .agg(n=pl.col("len").sum(), mx=pl.col("len").max(),
+                       u=pl.len()))
+            d = wc["d"].to_numpy()
+            n_tok[d] = wc["n"].to_numpy()
+            wmax[d] = wc["mx"].to_numpy()
+            uniq[d] = wc["u"].to_numpy()
+        nb = np.zeros(n, np.int64)
+        bmax = np.zeros(n, np.int64)
+        if m >= 2:
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, m - 1), flat.slice(1, m - 1), " ")
+                bg = bg.filter(pa.array(same))
+                bc = (pl.DataFrame({"d": doc_idx[:-1][same],
+                                    "b": pl.from_arrow(bg)})
+                      .group_by(["d", "b"])
+                      .len()
+                      .group_by("d")
+                      .agg(nb=pl.col("len").sum(), mx=pl.col("len").max()))
+                d = bc["d"].to_numpy()
+                nb[d] = bc["nb"].to_numpy()
+                bmax[d] = bc["mx"].to_numpy()
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "unique_ratio": pa.array(
+                uniq / np.maximum(n_tok, 1), pa.float64()),
+            "top_word_frac": pa.array(
+                wmax / np.maximum(n_tok, 1), pa.float64()),
+            "top_bigram_frac": pa.array(
+                bmax / np.maximum(nb, 1), pa.float64()),
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII patterns (RE2 — identical engine in Arrow and DuckDB). Redaction
+# order is urls -> emails -> phones, each applied to the PREVIOUS step's
+# output; counts are taken on that same intermediate, so the SQL twin
+# nests the same three regexp_replace steps in the same order.
+PII_URL_RE = r"https?://[^\s]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 \-]{7,}[0-9]"
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrub for corpus hygiene: -> (id, clean_text, n_urls, n_emails,
+    n_phones) with urls/emails/phone-shaped digit runs replaced by
+    [URL]/[EMAIL]/[PHONE] placeholders.
+
+    Pure ``pyarrow.compute`` regex kernels (count_substring_regex +
+    replace_substring_regex), zero Python per row, no shuffle. RE2 on both
+    engines makes the DuckDB ``regexp_replace(..., 'g')`` twin exact.
+    """
+    def _f(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        n_urls = pc.cast(pc.count_substring_regex(t, PII_URL_RE), pa.int64())
+        t = pc.replace_substring_regex(t, PII_URL_RE, "[URL]")
+        n_emails = pc.cast(
+            pc.count_substring_regex(t, PII_EMAIL_RE), pa.int64())
+        t = pc.replace_substring_regex(t, PII_EMAIL_RE, "[EMAIL]")
+        n_phones = pc.cast(
+            pc.count_substring_regex(t, PII_PHONE_RE), pa.int64())
+        t = pc.replace_substring_regex(t, PII_PHONE_RE, "[PHONE]")
+        return pa.table({
+            id_col: batch[id_col],
+            "clean_text": t,
+            "n_urls": n_urls,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+        })
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -581,6 +581,80 @@ class TestTextAnalysis:
         b = fingerprints(_docs_ds()).to_pandas().sort_values("doc_id")
         assert (a.fingerprint.to_numpy() == b.fingerprint.to_numpy()).all()
 
+    # planted corpus: boilerplate, PII, and tokenizer edge cases the
+    # driver documents never contain — the real evidence for the two ops
+    _PLANT = [
+        (0, "spam spam spam spam spam"),                    # one-word doc
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, ""),                                            # empty
+        (3, "   "),                                         # blanks only
+        (4, "one"),                                         # no bigram
+        (5, "buy now buy now buy now limited offer"),
+        (6, None),                                          # null text
+        (7, "contact me at alice.smith+x@example.co.uk or "
+            "bob@test.org today"),
+        (8, "see https://example.com/a?b=c#d and http://x.io now"),
+        (9, "call +880 1712-345678 or 01812 345 678 now"),
+        (10, "no pii here just words"),
+        (11, "mixed: visit https://a.b/c email a@b.cc ring 0123456789"),
+    ]
+
+    def _plant_ds(self):
+        import pyarrow as pa
+        import ray.data
+        ids = [i for i, _ in self._PLANT]
+        txt = [t for _, t in self._PLANT]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(txt, pa.string())}))
+
+    def _duckdb_twin(self, sql_key):
+        """Run the oracle SQL for ``sql_key`` over the planted corpus."""
+        import duckdb
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as E
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self._PLANT)
+        return con.execute(E.oracle_sql()[sql_key]).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def test_repetition_stats_planted_vs_duckdb(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            repetition_stats)
+        got = repetition_stats(self._plant_ds()).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = self._duckdb_twin("repetition_docs")
+        for c in ["n_tokens", "unique_ratio", "top_word_frac",
+                  "top_bigram_frac"]:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        row = got.set_index("doc_id")
+        assert row.loc[0, "top_word_frac"] == 1.0       # pure boilerplate
+        assert row.loc[0, "unique_ratio"] == 0.2
+        assert row.loc[5, "top_bigram_frac"] >= 3 / 7   # "buy now" x3
+        assert row.loc[2, "n_tokens"] == 0 and row.loc[3, "n_tokens"] == 0
+        assert row.loc[4, "top_bigram_frac"] == 0.0     # no bigram window
+
+    def test_pii_redact_planted_vs_duckdb(self, ray_session):
+        from ai_bangladesh_address_parser_ray.functions.text_analysis import (
+            pii_redact)
+        got = pii_redact(self._plant_ds()).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = self._duckdb_twin("pii_redact_docs")
+        for c in ["clean_text", "n_urls", "n_emails", "n_phones"]:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        row = got.set_index("doc_id")
+        assert row.loc[7, "n_emails"] == 2
+        assert "@" not in row.loc[7, "clean_text"]
+        assert row.loc[8, "n_urls"] == 2
+        assert "http" not in row.loc[8, "clean_text"]
+        assert row.loc[9, "n_phones"] == 2
+        assert row.loc[11, "n_urls"] == 1
+        assert row.loc[11, "n_emails"] == 1
+        assert row.loc[11, "n_phones"] == 1
+        assert row.loc[10, "clean_text"] == "no pii here just words"
+
 
 # -------------------------------------------------------------- stats ----
 
