@@ -7,7 +7,8 @@ Ray-Data-first over the ``documents`` / ``embeddings`` tables:
 - ``dedup``          exact, MinHash+LSH, SimHash, n-gram Jaccard,
                      embedding-cosine near-dup
 - ``text_analysis``  language-ID, quality scoring, token counting,
-                     winnowing fingerprints
+                     winnowing fingerprints, repetition/boilerplate
+                     signals, PII redaction
 - ``similarity``     brute-force cosine top-k + LSH-bucketed ANN
 - ``stats``          corpus statistics / grouped aggregates / top-k
 - ``multimodal``     binary-column plumbing with stubbed codecs

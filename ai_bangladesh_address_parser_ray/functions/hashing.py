@@ -6,10 +6,13 @@ stable across processes and machines (no ``hash()``, no seeds from the
 clock), which the resume/byte-identity guarantees depend on.
 
 MinHash uses the standard universal-hash family ``(a*h + b) mod 2^64`` over
-crc32 shingle hashes; SimHash is the classic Charikar bit-vote over token
-hashes. Both are vectorized with numpy inside the per-document loop (the
-per-batch loop over documents is unavoidable for variable-length token
-lists; all per-shingle work is numpy).
+crc32 shingle hashes; SimHash is the classic Charikar bit-vote over
+md5-low64 token hashes (== DuckDB ``md5_number_lower``, which is what
+makes its pair join SQL-oracled); winnowing grams are an FNV64 Horner
+rolling hash over UTF-8 bytes so the batch kernel vectorizes over the
+Arrow values buffer. Everything is numpy inside the per-document loop
+(the per-batch loop over documents is unavoidable for variable-length
+token lists; all per-shingle work is numpy).
 """
 
 from __future__ import annotations
@@ -223,21 +226,138 @@ def simhash_band_values(fp: int, bands: int = 4) -> list:
     return [(i, (fp >> (i * w)) & mask) for i in range(bands)]
 
 
-def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
-    """Winnowing document fingerprint (Schleimer et al. 2003, public):
-    rolling char k-gram crc32 hashes -> per-window minima -> blake2b of the
-    selected minima sequence. Deterministic; robust to local edits."""
-    s = " ".join(text.lower().split())
-    if len(s) < k:
-        return stable_u64(s.encode("utf-8"))
-    grams = np.array([zlib.crc32(s[i:i + k].encode("utf-8"))
-                      for i in range(len(s) - k + 1)], dtype=np.uint32)
+# Winnowing gram hash: Horner rolling hash over UTF-8 bytes with the FNV64
+# prime. Byte-based (not char-based) so the batch kernel can run straight
+# over the Arrow string values buffer — zero-copy, no per-position Python.
+_WINNOW_B = _U64(1099511628211)
+_MASK64 = (1 << 64) - 1
+
+
+def _winnow_fold(grams: np.ndarray, window: int) -> int:
+    """Grams (uint64) -> per-window minima -> dedup -> 64-bit fold."""
     if len(grams) <= window:
-        picks = [int(grams.min())]
+        picks = grams.min(keepdims=True)
     else:
         sw = np.lib.stride_tricks.sliding_window_view(grams, window)
         mins = sw.min(axis=1)
         # dedupe consecutive repeats (same selected gram)
         keep = np.concatenate([[True], mins[1:] != mins[:-1]])
-        picks = mins[keep].tolist()
-    return stable_u64(np.array(picks, dtype=np.uint32).tobytes())
+        picks = mins[keep]
+    return stable_u64(np.ascontiguousarray(picks, dtype=_U64).tobytes())
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing document fingerprint (Schleimer et al. 2003, public):
+    rolling byte k-gram hashes -> per-window minima -> blake2b of the
+    selected minima sequence. Deterministic; robust to local edits.
+
+    Scalar twin of :func:`winnow_fingerprints_batch` (pytest asserts
+    element-wise equality); kept in plain numpy so tests and the bridge
+    can fingerprint one document without Arrow plumbing."""
+    s = " ".join(text.lower().split())
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return stable_u64(b.tobytes())
+    ng = len(b) - k + 1
+    grams = np.zeros(ng, dtype=_U64)
+    with np.errstate(over="ignore"):
+        for j in range(k):          # Horner: h = h*B + byte + 1
+            grams = grams * _WINNOW_B + b[j:ng + j].astype(_U64) + _U64(1)
+    return _winnow_fold(grams, window)
+
+
+def winnow_fingerprints_batch(texts, k: int = 8,
+                              window: int = 16) -> np.ndarray:
+    """Vectorized winnowing over an Arrow string array -> uint64[n].
+
+    The gram hashes for the WHOLE batch are k wraparound multiply-adds
+    over the concatenated normalized UTF-8 bytes (the Arrow values buffer
+    read as one uint8 array) — no per-position Python; windows that would
+    cross a document boundary are simply never selected because each doc
+    reads only its own gram slice. Per-doc work after that is a handful
+    of numpy ops on that doc's grams (the round-3 version ran a Python
+    crc32 call per CHARACTER — measured 3 MB/s/core; this measures
+    15 MB/s/core on the same corpus, now limited by the uint64 Horner
+    multiply's memory traffic rather than the interpreter).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(arr, "")))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    # drop the "" fragments split_whitespace emits (leading blanks/empty
+    # docs) so the re-join equals the scalar " ".join(split()) exactly
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        csum = np.zeros(len(keep) + 1, np.int64)
+        np.cumsum(keep, out=csum[1:])
+        offs = csum[offs]
+        flat = flat.filter(pa.array(keep))
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat), " ")
+    s = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) \
+        else joined
+    s = pc.cast(s, pa.large_string())          # int64 offsets, one dtype
+    boffs = np.frombuffer(s.buffers()[1], dtype=np.int64)[
+        s.offset:s.offset + len(s) + 1]
+    data = np.frombuffer(s.buffers()[2] or b"", dtype=np.uint8)
+    n = len(s)
+    out = np.zeros(n, dtype=_U64)
+    m = len(data)
+    ng = m - k + 1
+    mins = None
+    if ng > 0:
+        # one upcast of the byte buffer (+1 folded in), then in-place
+        # Horner with no per-term temporaries: h = h*B + (byte + 1),
+        # identical to the scalar twin
+        d64 = data.astype(_U64)
+        d64 += _U64(1)
+        grams = d64[0:ng].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, k):
+                grams *= _WINNOW_B
+                grams += d64[j:ng + j]
+        if ng >= window:
+            # ONE global sliding-min pass + ONE global consecutive-dedupe
+            # mask; cross-doc windows are computed but never selected
+            # (each doc below reads only window starts fully inside its
+            # own gram range, and forces its first min kept when the
+            # global mask compared it against the neighbour doc's min).
+            # Sliding min is van Herk/Gil-Werman: block prefix/suffix
+            # minima -> 3 linear passes instead of O(window) per element
+            nb = -(-ng // window) * window
+            padded = np.full(nb, np.iinfo(np.uint64).max, _U64)
+            padded[:ng] = grams
+            blocks = padded.reshape(-1, window)
+            left = np.minimum.accumulate(blocks, axis=1).ravel()
+            right = np.minimum.accumulate(
+                blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+            nm = ng - window + 1
+            mins = np.minimum(right[:nm], left[window - 1:
+                                               window - 1 + nm])
+            keepg = np.empty(len(mins), np.bool_)
+            keepg[0] = True
+            np.not_equal(mins[1:], mins[:-1], out=keepg[1:])
+    for d in range(n):
+        lo, hi = int(boffs[d]), int(boffs[d + 1])
+        if hi - lo < k:
+            out[d] = stable_u64(data[lo:hi].tobytes())
+            continue
+        nl = hi - k + 1 - lo                   # this doc's gram count
+        if nl <= window:
+            picks = grams[lo:lo + nl].min(keepdims=True)
+        else:
+            e = lo + nl - window + 1
+            picks = mins[lo:e][keepg[lo:e]]
+            if lo > 0 and mins[lo] == mins[lo - 1]:
+                picks = np.concatenate([mins[lo:lo + 1], picks])
+        out[d] = stable_u64(np.ascontiguousarray(
+            picks, dtype=_U64).tobytes())
+    return out

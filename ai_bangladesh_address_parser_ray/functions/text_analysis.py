@@ -206,12 +206,15 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 8, window: int = 16):
-    """-> (id, fingerprint:uint64) winnowing rolling-hash fingerprints."""
-    from .hashing import winnow_fingerprint
+    """-> (id, fingerprint:uint64) winnowing rolling-hash fingerprints.
+
+    One vectorized rolling-hash pass over the batch's Arrow string values
+    buffer (:func:`hashing.winnow_fingerprints_batch`); the scalar twin
+    :func:`hashing.winnow_fingerprint` is the pytest oracle."""
+    from .hashing import winnow_fingerprints_batch
 
     def _f(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        fps = [winnow_fingerprint(t or "", k, window) for t in texts]
+        fps = winnow_fingerprints_batch(batch[text_col], k, window)
         return pa.table({
             id_col: batch[id_col],
             "fingerprint": pa.array(fps, pa.uint64()),

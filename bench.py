@@ -102,7 +102,7 @@ def run_query_suite(sf_dir: str) -> dict:
              "knn_cosine_topk", "embedding_dup_pairs", "simhash_dup_pairs",
              "minhash_dup_pairs", "near_dup_clusters", "training_corpus",
              "events_sessionized",
-             "asof_signup_attribution", "lang_id_docs",
+             "asof_signup_attribution", "lang_id_docs", "repetition_docs",
              "unshipped_revenue_topk", "events_user_windows",
              "events_value_quantiles", "events_hll_users"]
     out, spread = {}, {}

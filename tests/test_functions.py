@@ -73,12 +73,36 @@ class TestHashing:
                 "SELECT md5_number_lower(?)::UBIGINT", [t]).fetchone()[0]
             assert md5_low64(t.encode("utf-8")) == want
 
+    def test_winnow_batch_matches_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+        from ai_bangladesh_address_parser_ray.functions.hashing import (
+            winnow_fingerprint, winnow_fingerprints_batch)
+        texts = ["alpha beta gamma delta " * 20, "", "   ", "ab",
+                 "দহকা শহর  এলাকা   যায়", None, "x" * 7, "x" * 8,
+                 " leading blank", "a b", "w " * 12,
+                 "the quick brown fox jumps over the lazy dog"]
+        arr = pa.array(texts, pa.string())
+        got = winnow_fingerprints_batch(arr)
+        exp = np.array([winnow_fingerprint(t or "") for t in texts],
+                       np.uint64)
+        assert (got == exp).all()
+        # chunked and sliced inputs take the same zero-copy path
+        ch = pa.chunked_array([arr.slice(0, 5), arr.slice(5)])
+        assert (winnow_fingerprints_batch(ch) == exp).all()
+        assert (winnow_fingerprints_batch(arr.slice(2, 6)) == exp[2:8]).all()
+
     def test_winnow_stable_under_local_edit(self):
         from ai_bangladesh_address_parser_ray.functions.hashing import (
             winnow_fingerprint)
         t = "alpha beta gamma delta " * 20
         assert winnow_fingerprint(t) == winnow_fingerprint(t)
-        assert winnow_fingerprint(t) != winnow_fingerprint(t + "omega zed")
+        # winnowing's guarantee (Schleimer et al. §3): a change is only
+        # certain to surface if it spans >= window + k - 1 bytes (some
+        # window then lies fully inside the new region); shorter appends
+        # on periodic text can legitimately leave the picks unchanged
+        edit = "omega zed epsilon theta iota kappa lambda"
+        assert winnow_fingerprint(t) != winnow_fingerprint(t + edit)
 
     def test_simhash_band_pigeonhole(self):
         from ai_bangladesh_address_parser_ray.functions.hashing import (
