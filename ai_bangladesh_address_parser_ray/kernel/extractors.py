@@ -95,6 +95,38 @@ _HOUSE_PATTERNS = [
     # own bank above that keeps only the number)
     (re.compile(r"^\s*([A-GI-Z]\s*No\.?\s*\d{1,4})\b", re.I), 0.84),
 ]
+# required-literal prefilters for the keyword bank above, aligned by
+# index: each gate is an any-of tuple of lowercase substrings PROVABLY
+# required by its pattern (pattern can match => a gate literal is in the
+# lowercased text), so a missing literal skips the regex search outright.
+# None = always search. Profiled: regex search was 36% of kernel time,
+# ~20 searches/string in this bank alone.
+_HOUSE_KW_GATE = ("hous", "home", "bari", "bas")
+_HOUSE_GATES = [
+    _HOUSE_KW_GATE,                       # 0  house-kw + No token
+    _HOUSE_KW_GATE,                       # 1  house-kw letter-digit
+    ("holding",),                         # 2
+    ("building", "bldg"),                 # 3
+    ("plot",),                            # 4
+    _HOUSE_KW_GATE,                       # 5  range 8+9
+    _HOUSE_KW_GATE,                       # 6  range 98-99
+    _HOUSE_KW_GATE,                       # 7  combo 60 Kha 7
+    _HOUSE_KW_GATE,                       # 8  generic number
+    None,                                 # 9  banglish prefix
+    None, None, None, None,               # 10-13 single-letter H forms
+    _HOUSE_KW_GATE,                       # 14 letter/digit
+    _HOUSE_KW_GATE,                       # 15 letter-digit
+    ("hous", "bas", "building", "bldg", "bhobon"),   # 16 reversed
+    ("bh",),                              # 17 Bhobon/Bhaban
+    ("mah",),                             # 18 Mahol/Mahal
+    ("stor", "tala"),                     # 19 N-storey
+    ("-",),                               # 20 villa dash compound
+    ("no",),                              # 21 leading letter marker
+]
+assert len(_HOUSE_GATES) == len(_HOUSE_PATTERNS)
+_HOUSE_BANK = [(rx, conf, gate) for (rx, conf), gate
+               in zip(_HOUSE_PATTERNS, _HOUSE_GATES)]
+
 # bare-number positionals — no keyword claims the value, so an extra
 # left-context guard rejects numbers owned by road/flat/block/… (the
 # reference applies its standalone bank only after keyword banks miss and
@@ -193,7 +225,10 @@ def extract_house(text: str) -> Hit:
             if me and _house_guards_ok(text, me, me.group(1), n):
                 return me.group(1), _HOUSE_PATTERNS[0][1]
         return lead, 0.92
-    for rx, conf in _HOUSE_PATTERNS:
+    low = text.lower()
+    for rx, conf, gate in _HOUSE_BANK:
+        if gate is not None and not any(g in low for g in gate):
+            continue
         m = rx.search(text)
         if not m:
             continue
@@ -223,9 +258,10 @@ def extract_house(text: str) -> Hit:
     # other candidate exists ("Madani Avenue, 100 Feet Road" -> house 100
     # in the labeled corpus; with any competing candidate the feet number
     # stays with the road, which is why _house_guards_ok vetoes it above)
-    m = re.search(r"\b(\d{1,3})\s*(?:ty)?\s*feet\b", text, re.I)
-    if m:
-        return m.group(1), 0.70
+    if "feet" in low:
+        m = re.search(r"\b(\d{1,3})\s*(?:ty)?\s*feet\b", text, re.I)
+        if m:
+            return m.group(1), 0.70
     return None
 
 
@@ -303,61 +339,88 @@ def _named_segments(text: str, kinds) -> Optional[str]:
 
 
 def extract_road(text: str) -> Hit:
+    # literal prefilters throughout: every form below requires one of a
+    # few keyword literals (lane/road/avenue/...), so a lowercase substring
+    # probe skips the regex search when the keyword is absent (profiled:
+    # ~9 searches/string in this bank before gating)
+    low = text.lower()
+    has_lane = "lane" in low or "len" in low
+    has_road = "road" in low or "rd" in low
+    has_ave = "avenue" in low
     # 1. lanes (ordinal, named, numbered)
-    m = _LANE_ORD.search(text)
-    if m:
-        return m.group(1), 0.90
-    named = _named_segments(text, {"lane", "len"})
-    if named:
-        return named, 0.90
-    m = _LANE_NUM.search(text)
-    if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
-        return m.group(1), 0.88
+    if has_lane:
+        m = _LANE_ORD.search(text)
+        if m:
+            return m.group(1), 0.90
+        named = _named_segments(text, {"lane", "len"})
+        if named:
+            return named, 0.90
+        m = _LANE_NUM.search(text)
+        if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+            return m.group(1), 0.88
     # 2. avenues (numbered, named)
-    m = _AVE_NUM.search(text)
-    if m:
-        return m.group(1), 0.88
-    named = _named_segments(text, {"avenue"})
-    if named:
-        return named, 0.87
+    if has_ave:
+        m = _AVE_NUM.search(text)
+        if m:
+            return m.group(1), 0.88
+        named = _named_segments(text, {"avenue"})
+        if named:
+            return named, 0.87
     # 3. explicit numbered marker BEFORE named segments: when both
     # "Road No. 8" and a named road ("O R Nizam Road") appear, the
     # marker is the addressee's road and the name is the through-road
     # (labeled corpus prefers the marker 7:2)
-    m = _ROAD_NUM[0][0].search(text)
-    if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
-        return m.group(1), _ROAD_NUM[0][1]
-    # 4. named road segment ("Nuria Madrasha Road", "Mirpur Rd")
-    named = _named_segments(text, {"road", "rd", "sarani", "sarak",
-                                   "shoroni", "sharani", "soroni"})
-    if named:
-        return named, 0.86
-    # 5. remaining numbered road forms
-    for rx, conf in _ROAD_NUM[1:]:
-        m = rx.search(text)
+    if has_road:
+        m = _ROAD_NUM[0][0].search(text)
         if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
-            return m.group(1), conf
-    m = _FEET_ROAD.search(text)
-    if m:
-        return m.group(1), 0.90
+            return m.group(1), _ROAD_NUM[0][1]
+    # 4. named road segment ("Nuria Madrasha Road", "Mirpur Rd")
+    if has_road or any(k in low for k in ("sarani", "sarak", "shoroni",
+                                          "sharani", "soroni")):
+        named = _named_segments(text, {"road", "rd", "sarani", "sarak",
+                                       "shoroni", "sharani", "soroni"})
+        if named:
+            return named, 0.86
+    # 5. remaining numbered road forms
+    if has_road or has_lane or "goli" in low:
+        m = _ROAD_NUM[1][0].search(text)
+        if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+            return m.group(1), _ROAD_NUM[1][1]
+    if "line" in low:
+        m = _ROAD_NUM[2][0].search(text)
+        if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+            return m.group(1), _ROAD_NUM[2][1]
+    m = _ROAD_NUM[3][0].search(text)
+    if m and m.group(1).lower() not in _FLAT_STOP_ROAD:
+        return m.group(1), _ROAD_NUM[3][1]
+    if "feet" in low:
+        m = _FEET_ROAD.search(text)
+        if m:
+            return m.group(1), 0.90
     # 5. goli / street / mid-string named forms
-    named = _named_segments(text, {"goli", "street", "line"})
-    if named:
-        return named, 0.84
-    m = _NAMED_GOLI_MID.search(text)
-    if m:
-        return m.group(1), 0.82
-    m = _NAMED_ROAD_MID.search(text)
-    if m:
-        return m.group(1), 0.80
-    m = _FEET_BARE.search(text)
-    if m:
-        return m.group(1), 0.78
+    if "goli" in low or "street" in low or "line" in low:
+        named = _named_segments(text, {"goli", "street", "line"})
+        if named:
+            return named, 0.84
+    if "goli" in low:
+        m = _NAMED_GOLI_MID.search(text)
+        if m:
+            return m.group(1), 0.82
+    if has_road or has_lane or has_ave:
+        m = _NAMED_ROAD_MID.search(text)
+        if m:
+            return m.group(1), 0.80
+    if "feet" in low:
+        m = _FEET_BARE.search(text)
+        if m:
+            return m.group(1), 0.78
     # last-resort unicode/lowercase named forms (see pattern bank notes)
-    m = _NAMED_NO_LANE.search(text)
-    if m:
-        return m.group(1), 0.76
-    m = _NAMED_ROAD_ANY.search(text)
+    if has_lane or has_road:
+        m = _NAMED_NO_LANE.search(text)
+        if m:
+            return m.group(1), 0.76
+    m = _NAMED_ROAD_ANY.search(text) \
+        if (has_road or has_lane or has_ave or "street" in low) else None
     if m:
         val = m.group(1).strip()
         prefix = val.rsplit(" ", 1)[0]
@@ -560,16 +623,21 @@ def extract_area(text: str) -> Hit:
             s += 0.08          # "Mirpur 10" / "Uttara Sector 12" (Factor 5)
         cands.append((s, m_start, surface))
 
-    m = _CANTT_RE.search(text)
+    # literal prefilters for the contextual banks (see _HOUSE_GATES note):
+    # each gate literal is required by its pattern, probe once on the
+    # lowercased text instead of running the search
+    low = text.lower()
+    m = _CANTT_RE.search(text) if "cant" in low else None
     if m:
         # "<City> Cantonment" is a thana-level locality; the labeled corpus
         # prefers it over sub-localities even when those sit before the
         # city token — outrank the known-vocab + before-city ceiling
         cands.append((1.15, m.start(1), _area_title(m.group(1))))
-    m = _OLD_DHAKA_RE.search(text)
-    if m:
-        cands.append((0.90, m.start(1), _area_title(m.group(1))))
-    m = _THANA_RE.search(text)
+    if "old" in low or "puran" in low or "poran" in low:
+        m = _OLD_DHAKA_RE.search(text)
+        if m:
+            cands.append((0.90, m.start(1), _area_title(m.group(1))))
+    m = _THANA_RE.search(text) if ("thana" in low or "ps" in low) else None
     if m:
         g = m.group(1) or m.group(2)
         if not _UNKNOWN_VETO.search(re.sub(r"\bthana\b", "", g, flags=re.I)):
@@ -579,15 +647,18 @@ def extract_area(text: str) -> Hit:
             # locality usage and keeps the stronger score
             s_thana = 0.60 if m.group(1) else 0.66
             cands.append((s_thana, m.start(), _area_title(g)))
-    m = _RESA_RE.search(text)
+    m = _RESA_RE.search(text) \
+        if ("residential" in low or "r/a" in low) else None
     if m and not _UNKNOWN_VETO.search(m.group(1)):
         cands.append((0.66, m.start(1), _area_title(m.group(1))))
-    m = _GRAM_RE.search(text)
+    m = _GRAM_RE.search(text) \
+        if ("gram" in low or "village" in low) else None
     if m and not _UNKNOWN_VETO.search(m.group(1)):
         cands.append((0.64, m.start(1), _area_title(m.group(1))))
     # "<District> Sadar" used as the locality name
-    for dm in _SADAR_RE.finditer(text):
-        cands.append((0.85, dm.start(1), _area_title(dm.group(1))))
+    if "sadar" in low:
+        for dm in _SADAR_RE.finditer(text):
+            cands.append((0.85, dm.start(1), _area_title(dm.group(1))))
 
     # unknown comma-segment immediately before the city segment
     segs = text.split(",")
@@ -849,10 +920,18 @@ _FLAT_PATTERNS = [
      0.72),
 ]
 _FLAT_STOP = {"no", "number", "num", "name", "nong"}
+# required-literal prefilters, aligned with _FLAT_PATTERNS (see the house
+# bank's _HOUSE_GATES note)
+_FLAT_GATES = [("flat",), ("apartment", "apt"), ("unit", "suite"),
+               ("floor", "level"), ("(",)]
+assert len(_FLAT_GATES) == len(_FLAT_PATTERNS)
 
 
 def extract_flat(text: str) -> Hit:
-    for rx, conf in _FLAT_PATTERNS:
+    low = text.lower()
+    for (rx, conf), gate in zip(_FLAT_PATTERNS, _FLAT_GATES):
+        if not any(g in low for g in gate):
+            continue
         m = rx.search(text)
         if m and m.group(1).lower() not in _FLAT_STOP:
             return m.group(1), conf
@@ -876,8 +955,16 @@ _FLOOR_PATTERNS = [
 ]
 
 
+# aligned required-literal prefilters (see _HOUSE_GATES note)
+_FLOOR_GATES = [("lift",), ("floor",), ("floor",), ("level",), ("tola",)]
+assert len(_FLOOR_GATES) == len(_FLOOR_PATTERNS)
+
+
 def extract_floor(text: str) -> Hit:
-    for rx, conf in _FLOOR_PATTERNS:
+    low = text.lower()
+    for (rx, conf), gate in zip(_FLOOR_PATTERNS, _FLOOR_GATES):
+        if not any(g in low for g in gate):
+            continue
         m = rx.search(text)
         if m and m.group(1).lower() not in _FLAT_STOP:
             return m.group(1), conf
@@ -906,11 +993,21 @@ _BLOCK_PATTERNS = [
 _BLOCK_STOP = _FLAT_STOP
 
 
+# aligned required-literal prefilters (see _HOUSE_GATES note); "sec" is a
+# prefix of Sector/Section/Sec so one probe covers the alternation
+_BLOCK_GATES = [("block",), ("sec",), ("block",)]
+assert len(_BLOCK_GATES) == len(_BLOCK_PATTERNS)
+
+
 def extract_block(text: str) -> Hit:
-    m = _BLOCK_BN_RE.search(text)
-    if m:
-        return _BN_BLOCK_LETTERS[m.group(1)], 0.92
-    for rx, conf in _BLOCK_PATTERNS:
+    low = text.lower()
+    if "block" in low:
+        m = _BLOCK_BN_RE.search(text)
+        if m:
+            return _BN_BLOCK_LETTERS[m.group(1)], 0.92
+    for (rx, conf), gate in zip(_BLOCK_PATTERNS, _BLOCK_GATES):
+        if not any(g in low for g in gate):
+            continue
         m = rx.search(text)
         if m and m.group(1).lower() not in _BLOCK_STOP:
             return m.group(1), conf

