@@ -313,10 +313,12 @@ class GeoHierarchy:
         # lama, tala) still can't fire inside unrelated words. Only plain
         # 1-4-word letter names participate; others stay lookup-only.
         self._scan_ngrams: Dict[int, set] = {}
+        self._scan_first: set = set()   # first words — the position gate
         for n in sorted(set(self.upazilas) | set(self.unions)):
             if _PLAIN_NAME.match(n):
                 toks = tuple(n.split(" "))
                 self._scan_ngrams.setdefault(len(toks), set()).add(toks)
+                self._scan_first.add(toks[0])
         self._scan_max_n = max(self._scan_ngrams, default=0)
 
     # ------------------------------------------------------ prediction ----
@@ -443,7 +445,13 @@ class GeoHierarchy:
         toks = [(m.start(), m.end(), m.group(0))
                 for m in self._SCAN_TOKEN.finditer(address_lower)]
         name = None
+        first = self._scan_first
         for i in range(len(toks)):
+            # every known n-gram starts with a word from the first-word
+            # set; one set probe skips the candidate-tuple loop at ~95%
+            # of positions (same leftmost/longest result by construction)
+            if toks[i][2] not in first:
+                continue
             for n in range(min(self._scan_max_n, len(toks) - i), 0, -1):
                 grams = self._scan_ngrams.get(n)
                 if not grams:
