@@ -83,6 +83,21 @@ class TestExtractors:
         assert c["road"] == "5"
         assert c["area"] == "Mirpur"
 
+    def test_literal_gates_keep_keywordless_forms(self):
+        # the literal prefilters must not silence forms whose bank entry
+        # has no gate: single-letter H/R markers, banglish prefixes, and
+        # positional flat/parenthetical forms gated on other keywords
+        c = extract("H 12, R 5, Mirpur, Dhaka")["components"]
+        assert c["house_number"] == "12" and c["road"] == "5"
+        c = extract("Kha-32/1, Mirpur, Dhaka")["components"]
+        assert c["house_number"] == "Kha-32/1"
+        c = extract("3rd Floor, 6B, Banani, Dhaka")["components"]
+        assert c["flat_number"] == "6B"           # gate is floor/level
+        c = extract("House No. 586/1 (D1), Banani, Dhaka")["components"]
+        assert c["flat_number"] == "D1"           # gate is the paren
+        c = extract("12-Storey Building, Motijheel, Dhaka")["components"]
+        assert c["house_number"] == "12-Storey"   # storey/tala gate
+
     def test_hash_notation(self):
         c = extract("House# 45, Road# 08, Halishahar, Chittagong-4219")["components"]
         assert c["house_number"] == "45"
