@@ -164,9 +164,10 @@ def _subprocess_run(num_cpus: int, preset: str = "") -> dict:
 
 def scaling():
     """North-rule scaling evidence: same job, fresh sessions at N and 4N
-    CPUs (the sandbox stand-in for N vs 4N nodes). Uses the sf-scaling
-    preset (480k turns) so parallel compute dominates fixed Ray latencies
-    — efficiency at toy scale measures startup cost, not the pipeline."""
+    CPUs (the sandbox stand-in for N vs 4N nodes). Defaults to the
+    sf-scaling-xxl preset (19.2M turns) so parallel compute dominates
+    fixed Ray latencies — efficiency at toy scale measures startup cost,
+    not the pipeline (override with GRAFT_SYNTH_PRESET)."""
     # the N and 4N "cluster sizes" (sandbox stand-in: CPU budgets in fresh
     # processes). GRAFT_SCALING_CPUS accepts one pair ("8,32") or several
     # (";"-separated, e.g. "2,8;4,16;8,32" — the three N->4N points that
