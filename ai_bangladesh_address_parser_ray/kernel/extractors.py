@@ -458,6 +458,10 @@ _AREA_RE = re.compile(
 _AREA_WORD1 = {k for k in _AREA_ALL if " " not in k}
 _AREA_WORD2 = {tuple(k.split(" ")) for k in _AREA_ALL if k.count(" ") == 1}
 _AREA_WORD3 = {tuple(k.split(" ")) for k in _AREA_ALL if k.count(" ") == 2}
+# first-word gates: skip the tuple build unless this word can start a
+# multi-word name (same trick as geo.scan_address's first-word set)
+_AREA_FIRST2 = {t[0] for t in _AREA_WORD2}
+_AREA_FIRST3 = {t[0] for t in _AREA_WORD3}
 _TOKEN_SPAN_RE = re.compile(r"[A-Za-z]+")
 
 
@@ -473,7 +477,7 @@ def _area_matches(text: str):
     n = len(toks)
     while i < n:
         s1, e1, w1 = toks[i]
-        if i + 2 < n and _AREA_WORD3:
+        if i + 2 < n and w1 in _AREA_FIRST3:
             s2, e2, w2 = toks[i + 1]
             s3, e3, w3 = toks[i + 2]
             if ((w1, w2, w3) in _AREA_WORD3 and text[e1:s2] == " "
@@ -481,7 +485,7 @@ def _area_matches(text: str):
                 out.append((s1, e3, text[s1:e3]))
                 i += 3
                 continue
-        if i + 1 < n:
+        if i + 1 < n and w1 in _AREA_FIRST2:
             s2, e2, w2 = toks[i + 1]
             if (w1, w2) in _AREA_WORD2 and text[e1:s2] == " ":
                 out.append((s1, e2, text[s1:e2]))
