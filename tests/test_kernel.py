@@ -83,6 +83,42 @@ class TestExtractors:
         assert c["road"] == "5"
         assert c["area"] == "Mirpur"
 
+    def test_literal_gates_are_implied_by_their_patterns(self):
+        # the prefilter invariant: wherever a bank pattern matches a real
+        # string, its gate must pass — checked over the reference corpus
+        # plus adversarial synthetics, so a wrong gate cannot silently
+        # disable a pattern
+        import json
+        from ai_bangladesh_address_parser_ray.kernel import extractors as X
+        from ai_bangladesh_address_parser_ray.kernel.normalizer import (
+            normalize)
+        ref = json.load(open(
+            "/root/reference/data/raw/merged_addresses.json"))
+        texts = [normalize(r.get("address") or "") for r in ref]
+        texts += ["House No 1", "Holding 2", "Bldg 3", "Plot 4", "Kha-5",
+                  "H 6", "7 No Basha", "8 Bhaban", "Mahal 9", "10-storey",
+                  "AB-C/11", "U No 12", "Flat 1", "Apt 2", "Unit 3",
+                  "Floor, 4B", "x (D5)", "Lift 6", "7th Floor", "Level 8",
+                  "9 tola", "Block A", "Sector 10", "B Block"]
+        banks = [
+            ([(rx, g) for (rx, _c, g) in X._HOUSE_BANK], None),
+            (list(zip([rx for rx, _ in X._FLAT_PATTERNS], X._FLAT_GATES)),
+             None),
+            (list(zip([rx for rx, _ in X._FLOOR_PATTERNS], X._FLOOR_GATES)),
+             None),
+            (list(zip([rx for rx, _ in X._BLOCK_PATTERNS], X._BLOCK_GATES)),
+             None),
+        ]
+        for bank, _ in banks:
+            for rx, gate in bank:
+                if gate is None:
+                    continue
+                for t in texts:
+                    if rx.search(t):
+                        low = t.lower()
+                        assert any(g in low for g in gate), \
+                            (rx.pattern[:60], gate, t[:80])
+
     def test_literal_gates_keep_keywordless_forms(self):
         # the literal prefilters must not silence forms whose bank entry
         # has no gate: single-letter H/R markers, banglish prefixes, and
