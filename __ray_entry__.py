@@ -728,8 +728,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only operator family, and everything past the cap is a
         # variant of an already-recorded family (VERDICT r3 #7) —
         # component_distributions sits past the cap because corpus_stats
-        # already represents the A1 statistics family, and pii_redact_docs
-        # (SQL-oracled) is covered by the local gate at both scales.
+        # already represents the A1 statistics family; pii_redact_docs
+        # (SQL-oracled) is covered by the local gate at both scales; and
+        # extract_turn_components is represented within the cap by
+        # linkage_clusters (its recorded schema carries every extraction
+        # component column) plus validate_format_turns / geo_enrich_turns,
+        # which run the same extraction upstream.
         "events_hll_users": _q_events_hll_users,
         "linkage_clusters": _q_linkage,
         "validate_format_turns": _q_validate_format_turns,
