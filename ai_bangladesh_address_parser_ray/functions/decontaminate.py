@@ -28,12 +28,29 @@ import ray
 from .hashing import word_shingles
 
 
+# broadcast ceiling for the bench side: an eval set is thousands of docs;
+# a caller passing a corpus-scale Dataset as `bench_ds` would otherwise
+# OOM the driver silently inside take_all (VERDICT r4 #7 — mirror the
+# hot-key guards: fail loudly with the measured size, name the fix)
+MAX_BENCH_ROWS = 200_000
+
+
 def _bench_index(bench_ds, text_col: str, id_col: str, shingle_n: int):
     """Collect the benchmark side into ``{shingle: np.array(bench_ids)}``.
 
-    ``take_all`` here is deliberate and bounded: the BENCH side is the
-    small side by contract (an eval set), the corpus side streams.
+    The driver-side materialization is deliberate and bounded: the BENCH
+    side is the small side by contract (an eval set), the corpus side
+    streams. The contract is ENFORCED — more than ``MAX_BENCH_ROWS``
+    raises instead of silently building a corpus-sized driver dict.
     """
+    n = bench_ds.count()
+    if n > MAX_BENCH_ROWS:
+        raise ValueError(
+            f"decontaminate: bench side has {n} rows "
+            f"(> MAX_BENCH_ROWS={MAX_BENCH_ROWS}); the bench/eval set is "
+            f"broadcast to every worker and must stay small. Swap the "
+            f"arguments if they are reversed, or pre-reduce the bench "
+            f"side (sample / per-benchmark split) before calling.")
     index: dict = {}
     for row in bench_ds.select_columns([id_col, text_col]).take_all():
         bid = row[id_col]

@@ -632,7 +632,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     def _fp(batch: pa.Table) -> pa.Table:
         # Bit-identical to hashing.simhash64 per doc (the pytest contract):
-        # same stable_u64 token hashes, same bit votes — but hashlib runs
+        # same md5_low64 token hashes (== DuckDB md5_number_lower, the
+        # round-4 SQL-oracle rebase), same bit votes — but hashlib runs
         # only over the batch's UNIQUE tokens (Zipf: ~10-20% of the stream)
         # through a per-worker memo, and the voting/band emission is numpy.
         import pyarrow.compute as pc

@@ -10,15 +10,19 @@ Generalizes the reference's per-string analyzers (script-ratio detector
 ``/root/reference/src/core/stages/script_detector.py:10-39``, completeness
 validator ``src/core/utils/address_utils.py:9-66``) from one address string
 to corpus scale. Counting/ratio ops are pure ``pyarrow.compute`` kernel
-chains (zero Python per row); ratios and scores are raw IEEE divisions of
-integer counts — identical operand order on the Ray and SQL sides — so the
-distributed result is bit-identical with the DuckDB oracle, no rounding.
+chains (zero Python per row); ratios and scores are IEEE divisions of
+integer counts in the same operand order as the SQL twins, then rounded
+to 6 decimals on BOTH sides with the engine-independent floor round
+(``functions/rounding.py``) so the hash survives driver-environment
+drift (round-5 policy, VERDICT r4 item 3).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .rounding import round6_arrow, round6_np, round6_scalar
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -44,8 +48,11 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
     score = 0.4*len_score + 0.3*(1-punct_ratio) + 0.3*stopword_presence
     where len_score = min(n_tokens/100, 1). All arithmetic in float64 in a
-    fixed operation order so the DuckDB oracle (same expression, same
-    order) produces bit-identical doubles — no rounding needed.
+    fixed operation order matching the DuckDB oracle; the emitted ratio /
+    score columns are then rounded to 6 decimals on BOTH sides (round-5
+    drift policy: the round-4 driver showed raw IEEE quotients are not
+    hash-stable across DuckDB builds). Internal arithmetic stays raw —
+    only the outputs are rounded, identically in the SQL twin.
 
     ``passthrough`` columns are carried into the output unchanged so a
     downstream filter (e.g. corpus materialization) does not need a join
@@ -73,9 +80,9 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
             id_col: batch[id_col],
             "n_chars_c": pc.cast(n_chars, pa.int64()),
             "n_tokens": pc.cast(n_tokens, pa.int64()),
-            "punct_ratio": punct_ratio,
-            "stopword_ratio": stop_ratio,
-            "quality": score,
+            "punct_ratio": round6_arrow(punct_ratio),
+            "stopword_ratio": round6_arrow(stop_ratio),
+            "quality": round6_arrow(score),
         }
         for c in passthrough:
             cols[c] = batch[c]
@@ -110,13 +117,12 @@ def lang_id_one(text: str) -> tuple:
     cjk = sum(1 for c in text if _CJK[0] <= ord(c) <= _CJK[1])
     bn = sum(1 for c in text if _BN[0] <= ord(c) <= _BN[1])
     alpha = sum(1 for c in text if c.isalpha()) or 1
-    # scores are raw IEEE divisions (no rounding): int/int double division
-    # is bit-identical across numpy, Python and SQL engines, which keeps
-    # the lang_id oracle hash-exact (module float policy)
+    # decision thresholds compare RAW quotients (identical in the SQL
+    # twin); only the emitted score is rounded (module float policy)
     if cjk / alpha > 0.3:
-        return "zh", cjk / alpha
+        return "zh", round6_scalar(cjk / alpha)
     if bn / alpha > 0.3:
-        return "bn", bn / alpha
+        return "bn", round6_scalar(bn / alpha)
     toks = text.lower().split()
     if not toks:
         return "und", 0.0
@@ -131,7 +137,7 @@ def lang_id_one(text: str) -> tuple:
             best_lang, best = lang, frac
     if best == 0.0:
         return "en", 0.0   # latin-script default
-    return best_lang, best
+    return best_lang, round6_scalar(best)
 
 
 def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
@@ -194,7 +200,7 @@ def _lang_id_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     return pa.table({
         id_col: batch[id_col],
         "lang_pred": pa.array(lang_arr, pa.string()),
-        "lang_score": pa.array(score, pa.float64()),
+        "lang_score": pa.array(round6_np(score), pa.float64()),
     })
 
 
@@ -342,15 +348,19 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
                 d = bc["d"].to_numpy()
                 nb[d] = bc["nb"].to_numpy()
                 bmax[d] = bc["mx"].to_numpy()
+        # Ratios are rounded to 6 decimals on BOTH sides via the
+        # engine-independent floor round (functions/rounding.py): round 4
+        # showed raw IEEE quotients are not hash-stable across driver
+        # environments, and library round() tie rules differ per engine.
         return pa.table({
             id_col: batch[id_col],
             "n_tokens": pa.array(n_tok, pa.int64()),
             "unique_ratio": pa.array(
-                uniq / np.maximum(n_tok, 1), pa.float64()),
+                round6_np(uniq / np.maximum(n_tok, 1)), pa.float64()),
             "top_word_frac": pa.array(
-                wmax / np.maximum(n_tok, 1), pa.float64()),
+                round6_np(wmax / np.maximum(n_tok, 1)), pa.float64()),
             "top_bigram_frac": pa.array(
-                bmax / np.maximum(nb, 1), pa.float64()),
+                round6_np(bmax / np.maximum(nb, 1)), pa.float64()),
         })
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -40,6 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .relational import _cents, _ts_us, streaming_topk
+from .rounding import round6_scalar
 
 # ----------------------------------------------------- per-key windows ----
 
@@ -370,8 +371,11 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
     ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`` with
     Python arbitrary-precision ints up to the last float64 conversion —
     the same value any SQL engine gets from HUGEINT moments, so the
-    double is BIT-IDENTICAL regardless of row order or partitioning
-    (streaming Welford implementations cannot promise that). x must be
+    double is bit-identical regardless of row order or partitioning
+    (streaming Welford implementations cannot promise that); the output
+    is then rounded to 6dp with the engine-independent floor round
+    (``functions/rounding.py``, round-5 drift policy), matching the
+    SQL twin's identical floor expression. x must be
     integral; y is either integral or money rounded to cents
     (``y_cents``). int64 is safe per batch; the cross-batch sums ride
     int64 too — at 10^12-row scale promote the partials to float128/
@@ -407,7 +411,7 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
                 for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
             num = n * sxy - sx * sy
             d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
-            c = (float(num) / math.sqrt(float(d1) * float(d2))
+            c = (round6_scalar(float(num) / math.sqrt(float(d1) * float(d2)))
                  if d1 > 0 and d2 > 0 else None)
             out_g.append(batch[group_col][i].as_py())
             out_c.append(c)

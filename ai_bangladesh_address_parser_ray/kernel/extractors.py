@@ -641,7 +641,10 @@ def extract_area(text: str) -> Hit:
         m = _OLD_DHAKA_RE.search(text)
         if m:
             cands.append((0.90, m.start(1), _area_title(m.group(1))))
-    m = _THANA_RE.search(text) if ("thana" in low or "ps" in low) else None
+    # gate literals: "Thana ..."/"... Thana" -> "thana"; "PS X" -> "ps";
+    # "P.S. X" -> "p.s" (NOT "ps" — the dot breaks the substring)
+    m = _THANA_RE.search(text) \
+        if ("thana" in low or "ps" in low or "p.s" in low) else None
     if m:
         g = m.group(1) or m.group(2)
         if not _UNKNOWN_VETO.search(re.sub(r"\bthana\b", "", g, flags=re.I)):
@@ -756,6 +759,41 @@ _DISTRICT_RE = re.compile(
 _SADAR_RE = re.compile(
     r"\b((?:" + "|".join(re.escape(d) for d in _DISTRICTS if d.isascii())
     + r")\s+Sadar)\b", re.I)
+
+
+def inline_gate_table():
+    """Gate contract for the road/area inline literal prefilters: every
+    (pattern, gate-literals) pair where the extractor skips the regex
+    search unless one literal occurs in the lowercased text. The
+    invariant test (tests/test_kernel.py) asserts pattern-match =>
+    gate-pass over the reference corpus plus adversarial synthetics, so
+    a wrong gate cannot silently disable a form (the round-4 "P.S."
+    gap, ADVICE r4: 'p.s.' contains no 'ps' substring). Keep this table
+    in sync with the ``in low`` conditions in extract_road/extract_area."""
+    _ensure_city_res()
+    return [
+        # extract_road
+        (_LANE_ORD, ("lane", "len")),
+        (_LANE_NUM, ("lane", "len")),
+        (_AVE_NUM, ("avenue",)),
+        (_ROAD_NUM[0][0], ("road", "rd")),
+        (_ROAD_NUM[1][0], ("road", "rd", "lane", "len", "goli")),
+        (_ROAD_NUM[2][0], ("line",)),
+        (_FEET_ROAD, ("feet",)),
+        (_FEET_BARE, ("feet",)),
+        (_NAMED_GOLI_MID, ("goli",)),
+        (_NAMED_ROAD_MID, ("road", "rd", "lane", "len", "avenue")),
+        (_NAMED_NO_LANE, ("lane", "len", "road", "rd")),
+        (_NAMED_ROAD_ANY, ("road", "rd", "lane", "len", "avenue",
+                           "street")),
+        # extract_area
+        (_CANTT_RE, ("cant",)),
+        (_OLD_DHAKA_RE, ("old", "puran", "poran")),
+        (_THANA_RE, ("thana", "ps", "p.s")),
+        (_RESA_RE, ("residential", "r/a")),
+        (_GRAM_RE, ("gram", "village")),
+        (_SADAR_RE, ("sadar",)),
+    ]
 
 
 def extract_district(text: str) -> Hit:

@@ -284,6 +284,22 @@ class TestDedup:
                                      min_shared=2).to_pandas()
         assert strict.values.tolist() == [[1, 100, 2]]
 
+    def test_bench_side_size_guard(self, ray_session, monkeypatch):
+        """An oversized bench side must raise with the measured row count
+        (VERDICT r4 #7), not silently build a corpus-sized driver dict."""
+        import ray.data
+
+        from ai_bangladesh_address_parser_ray.functions import decontaminate
+        monkeypatch.setattr(decontaminate, "MAX_BENCH_ROWS", 10)
+        big_bench = pd.DataFrame({
+            "doc_id": range(25),
+            "text": ["alpha beta gamma delta"] * 25})
+        train = pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma"]})
+        with pytest.raises(ValueError, match="25 rows"):
+            decontaminate.contamination_pairs(
+                ray.data.from_pandas(train),
+                ray.data.from_pandas(big_bench)).to_pandas()
+
     def test_training_corpus_pipeline_planted(self, ray_session):
         """Each hygiene stage drops exactly its target: the low-quality doc,
         the contaminated doc, and the higher-id exact duplicate."""
@@ -656,7 +672,9 @@ class TestTextAnalysis:
         row = got.set_index("doc_id")
         assert row.loc[0, "top_word_frac"] == 1.0       # pure boilerplate
         assert row.loc[0, "unique_ratio"] == 0.2
-        assert row.loc[5, "top_bigram_frac"] >= 3 / 7   # "buy now" x3
+        # "buy now" x3 of 7 bigrams (output is 6dp-rounded, so compare
+        # against the rounded quotient, not raw 3/7)
+        assert row.loc[5, "top_bigram_frac"] >= 3 / 7 - 1e-6
         assert row.loc[2, "n_tokens"] == 0 and row.loc[3, "n_tokens"] == 0
         assert row.loc[4, "top_bigram_frac"] == 0.0     # no bigram window
 

@@ -109,6 +109,19 @@ class TestExtractors:
             (list(zip([rx for rx, _ in X._BLOCK_PATTERNS], X._BLOCK_GATES)),
              None),
         ]
+        # area/road inline gates (ADVICE r4: the 'P.S.' form was silently
+        # disabled because 'p.s.' contains no 'ps' substring) — probe the
+        # exact surface forms each alternative can produce
+        texts += ["House 5, P.S. Shibaloy, Manikganj", "PS Double Mooring",
+                  "Thana Gandaria", "Gandaria Thana", "Dhaka Cantt",
+                  "Old Dhaka", "Puran Dhaka", "Gulshan R/A", "Lane No 4",
+                  "Nasirabad Residential Area", "Village Charan",
+                  "Gram Charan", "Comilla Sadar", "1st Lane", "60 Feet",
+                  "Avenue 5", "Road No 8", "2 No Goli", "Line No 16",
+                  "Kalabagan 1st Len", "Mirpur Road", "Agrabad Avenue",
+                  "North Goli", "Station Street"]
+        for rx, gate in X.inline_gate_table():
+            banks.append(([(rx, gate)], None))
         for bank, _ in banks:
             for rx, gate in bank:
                 if gate is None:

@@ -97,6 +97,41 @@ class TestStatistics:
             assert sub["n"].tolist() == exp["n"].tolist(), field
             assert sub["rank"].tolist() == list(range(1, len(exp) + 1))
 
+    def test_component_distributions_planted(self, ray_session):
+        """Exact expected output on a hand-planted component table
+        (ADVICE r4: a local twin for the query now past the driver's
+        50-query recording cap): counts, desc-count/asc-value tie order,
+        per-component k cut, and empty-value exclusion."""
+        import pyarrow as pa
+        import ray.data
+
+        from ai_bangladesh_address_parser_ray.stages.postprocess import (
+            component_distributions)
+        t = pa.table({
+            "district": ["dhaka"] * 3 + ["khulna"] * 2 + ["bogra"] * 2
+            + [""] * 2 + [None],
+            "area": ["mirpur"] * 4 + ["banani"] * 2 + [""] * 4,
+            "division": ["dhaka"] * 5 + ["rajshahi"] * 5,
+        })
+        got = (component_distributions(
+            ray.data.from_arrow(t).repartition(3), ks={"district": 2,
+                                                       "area": 5,
+                                                       "division": 1})
+            .to_pandas().sort_values(["component", "rank"])
+            .reset_index(drop=True))
+        exp = pd.DataFrame([
+            # k=5 keeps both areas; counts exclude ""/None rows
+            {"component": "area", "value": "mirpur", "n": 4, "rank": 1},
+            {"component": "area", "value": "banani", "n": 2, "rank": 2},
+            # k=2 cuts khulna-vs-bogra tie by value ascending: bogra wins
+            {"component": "district", "value": "dhaka", "n": 3, "rank": 1},
+            {"component": "district", "value": "bogra", "n": 2, "rank": 2},
+            # k=1 cuts the 5-5 division tie by value ascending
+            {"component": "division", "value": "dhaka", "n": 5, "rank": 1},
+        ])
+        pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                      check_dtype=False)
+
     def test_area_division_distributions(self, extracted):
         from ai_bangladesh_address_parser_ray.stages.postprocess import (
             area_distribution, division_distribution)

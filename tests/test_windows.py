@@ -425,7 +425,10 @@ SELECT lang, h, doc_id, rank FROM (
 
     def test_corr_bit_identical(self, ray_session):
         """Exact integer moments -> the double equals DuckDB's HUGEINT
-        computation bit for bit, under any partitioning."""
+        computation bit for bit (after the shared engine-independent
+        6dp floor round on both sides), under any partitioning."""
+        from ai_bangladesh_address_parser_ray.functions.rounding import (
+            sql_round6)
         import ray.data
         from ai_bangladesh_address_parser_ray.functions.windows import (
             grouped_corr)
@@ -445,8 +448,9 @@ WITH m AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n,
   SUM(CAST(round(l_discount*100) AS HUGEINT)
     *CAST(round(l_discount*100) AS HUGEINT)) AS syy
  FROM lineitem GROUP BY 1)
-SELECT l_returnflag, CAST(n*sxy - sx*sy AS DOUBLE)
-  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+SELECT l_returnflag, """ + sql_round6(
+            "CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST(n*sxx - sx*sx "
+            "AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))") + """
   AS corr_qd FROM m ORDER BY l_returnflag""").fetch_df()
         assert (got["corr_qd"].values == want["corr_qd"].values).all()
 

@@ -47,6 +47,11 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
+    # print engine versions so a driver-vs-local drift (the round-4
+    # repetition_docs hash fail) is diagnosable from the log alone
+    import pyarrow
+    print(f"env: duckdb={duckdb.__version__} pyarrow={pyarrow.__version__} "
+          f"pandas={pd.__version__}")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
