@@ -149,10 +149,12 @@ _KNN_NQ, _KNN_K = 8, 5
 
 
 def _query_vectors(sf_dir):
-    tbl = pa.concat_tables([
-        b for b in _read(sf_dir, "embeddings")
-        .filter(expr=f"vec_id < {_KNN_NQ}")
-        .iter_batches(batch_format="pyarrow")])
+    # tiny fixed side: read the parquet directly with pyarrow instead of
+    # spinning a Dataset execution (~2s fixed Ray overhead, VERDICT r4 #6)
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", _KNN_NQ)])
     ids = tbl["vec_id"].to_pylist()
     mat = np.asarray([np.asarray(v, np.float64)
                       for v in tbl["embedding"].to_pylist()])
@@ -170,7 +172,8 @@ _DUP_TAU = 0.4
 
 def _q_embedding_dups(sf_dir):
     return F_dedup.embedding_cosine_pairs(
-        _read(sf_dir, "embeddings"), tau=_DUP_TAU)
+        _read(sf_dir, "embeddings"), tau=_DUP_TAU,
+        small_side_path=f"{sf_dir}/embeddings.parquet")
 
 
 _JACC_TAU = 0.8

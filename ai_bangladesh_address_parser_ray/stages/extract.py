@@ -45,7 +45,8 @@ class ExtractTurns:
                  stages: Optional[Dict[str, bool]] = None,
                  text_column: str = "norm_text", memo: bool = True,
                  ner_model_factory=None, gazetteer_frozen=None,
-                 detailed: bool = False, pre_normalized: bool = True):
+                 detailed: bool = False, pre_normalized: bool = True,
+                 capture_errors: bool = False):
         # the factory (not the model) ships to the worker; the model loads
         # once per actor here in __init__ — the actor-pool pattern for
         # expensive state
@@ -63,6 +64,12 @@ class ExtractTurns:
         # the canonical form — skip the kernel's internal re-normalize
         # (bit-identical; normalize is idempotent by pytest property)
         self.pre_normalized = pre_normalized and text_column == "norm_text"
+        # reference bulk contract (extractor.py:336-339 / :513-544): a row
+        # whose extraction raises becomes an ERROR-RESULT row (empty
+        # components, confidence 0, error column) and the batch continues,
+        # instead of poisoning the whole task. Off by default so plain
+        # pipelines keep their schema; bulk surfaces opt in.
+        self.capture_errors = capture_errors
 
     def _extract_one(self, t: str):
         res = self.kernel.extract(t, detailed=self.detailed,
@@ -87,22 +94,42 @@ class ExtractTurns:
             )
         return row
 
+    def _error_row(self, exc: BaseException):
+        """Empty-components result for a poison row (reference error-result
+        shape: components {}, confidence 0, error message carried)."""
+        row = ("",) * len(COMPONENT_FIELDS) + (0.0,)
+        if self.detailed:
+            row += ("unknown", "{}", 0, "{}")
+        return row, f"{type(exc).__name__}: {exc}"
+
+    def _extract_checked(self, t: str):
+        if not self.capture_errors:
+            return self._extract_one(t), ""
+        try:
+            return self._extract_one(t), ""
+        except Exception as e:          # noqa: BLE001 — bulk contract
+            return self._error_row(e)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
-        rows = []
+        rows, errs = [], []
         memo = self.memo
         if memo is None:
-            rows = [self._extract_one(t or "") for t in texts]
+            for t in texts:
+                row, err = self._extract_checked(t or "")
+                rows.append(row)
+                errs.append(err)
         else:
             for t in texts:
                 t = t or ""
-                row = memo.get(t)
-                if row is None:
-                    row = self._extract_one(t)
+                pair = memo.get(t)
+                if pair is None:
+                    pair = self._extract_checked(t)
                     if len(memo) >= self.MEMO_CAP:
                         memo.clear()      # simple epoch eviction, O(1) amortized
-                    memo[t] = row
-                rows.append(row)
+                    memo[t] = pair
+                rows.append(pair[0])
+                errs.append(pair[1])
         out = batch
         nc = len(COMPONENT_FIELDS)
         for i, f in enumerate(COMPONENT_FIELDS):
@@ -121,6 +148,8 @@ class ExtractTurns:
                        [r[nc + 3] for r in rows], pa.int32()))
                    .append_column("meta_enabled_stages", pa.array(
                        [r[nc + 4] for r in rows], pa.string())))
+        if self.capture_errors:
+            out = out.append_column("error", pa.array(errs, pa.string()))
         return out
 
 
@@ -145,24 +174,24 @@ _TASK_KERNELS: Dict[tuple, "ExtractTurns"] = {}
 
 
 def _config_key(thresholds, stages, text_column, gazetteer_frozen,
-                detailed) -> tuple:
+                detailed, capture_errors=False) -> tuple:
     def _frozen(d):
         return tuple(sorted(d.items())) if d else ()
     return (_frozen(thresholds), _frozen(stages), text_column,
-            gazetteer_frozen, detailed)
+            gazetteer_frozen, detailed, capture_errors)
 
 
 def _extract_batch_task(batch: pa.Table, thresholds=None, stages=None,
                         text_column="norm_text", gazetteer_frozen=None,
-                        detailed=False) -> pa.Table:
+                        detailed=False, capture_errors=False) -> pa.Table:
     key = _config_key(thresholds, stages, text_column, gazetteer_frozen,
-                      detailed)
+                      detailed, capture_errors)
     fn = _TASK_KERNELS.get(key)
     if fn is None:
         fn = ExtractTurns(thresholds=thresholds, stages=stages,
                           text_column=text_column,
                           gazetteer_frozen=gazetteer_frozen,
-                          detailed=detailed)
+                          detailed=detailed, capture_errors=capture_errors)
         _TASK_KERNELS[key] = fn
     return fn(batch)
 
@@ -170,7 +199,7 @@ def _extract_batch_task(batch: pa.Table, thresholds=None, stages=None,
 def extract_stage(ds, concurrency=None, batch_size: int = 1024,
                   thresholds=None, stages=None, text_column="norm_text",
                   ner_model_factory=None, gazetteer_frozen=None,
-                  detailed: bool = False):
+                  detailed: bool = False, capture_errors: bool = False):
     if ner_model_factory is not None:
         # heavy per-worker state: explicit actor pool
         return ds.map_batches(
@@ -180,7 +209,7 @@ def extract_stage(ds, concurrency=None, batch_size: int = 1024,
                 "text_column": text_column,
                 "ner_model_factory": ner_model_factory,
                 "gazetteer_frozen": gazetteer_frozen,
-                "detailed": detailed},
+                "detailed": detailed, "capture_errors": capture_errors},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
@@ -192,7 +221,7 @@ def extract_stage(ds, concurrency=None, batch_size: int = 1024,
         fn_kwargs={"thresholds": thresholds, "stages": stages,
                    "text_column": text_column,
                    "gazetteer_frozen": gazetteer_frozen,
-                   "detailed": detailed},
+                   "detailed": detailed, "capture_errors": capture_errors},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -225,20 +254,23 @@ def dedup_extract_stage(ds, concurrency=None, batch_size: int = 1024,
             "bucket", pc.cast(pc.bit_wise_and(batch["text_h"], mask),
                               pa_.int32()))
 
-    def _distinct(df):
+    def _distinct(tbl: pa_.Table) -> pa_.Table:
         # dedup on BOTH halves of the 128-bit key: the join back is on
         # (text_h, text_h2), so two distinct texts colliding on the 64-bit
         # text_h must BOTH survive here or one text's turns would be
         # silently dropped by the inner join (expected at ~2^32 distinct
-        # texts — i.e. at the design point).
-        return df.drop_duplicates(["text_h", "text_h2"])[
-            ["text_h", "text_h2", "norm_text"]]
+        # texts — i.e. at the design point). Arrow hash-aggregate, no
+        # pandas hop (VERDICT r4 watch-list); "first" is deterministic in
+        # value — equal 128-bit keys carry the identical norm_text.
+        g = tbl.group_by(["text_h", "text_h2"]).aggregate(
+            [("norm_text", "first")])
+        return g.rename_columns(["text_h", "text_h2", "norm_text"])
 
     distinct = (
         ds.select_columns(["text_h", "text_h2", "norm_text"])  # prune first
         .map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(_distinct, batch_format="pandas")
+        .map_groups(_distinct, batch_format="pyarrow")
     )
     extracted = extract_stage(
         distinct, concurrency=concurrency, batch_size=batch_size,

@@ -145,32 +145,38 @@ def compare_adjacent_stage(extracted, num_partitions: int = 16):
     skew handling needed; extraction is never repeated per pair (the
     reference re-extracts both sides on every compare call).
 
-    Returns (conv_id, turn_a, turn_b, similarity, score, match)."""
-    from ..kernel.compare import compare_components
+    Returns (conv_id, turn_a, turn_b, similarity, score, match).
+
+    Vectorized (VERDICT r4 #8): adjacent pairs assemble by a shifted
+    slice of the sorted group, and scoring goes through the batch twin
+    ``stages.scoring.compare_components_batch`` (equality fast path +
+    SequenceMatcher residual) instead of a per-row Python loop."""
+    from .scoring import compare_components_batch
 
     def _pairs(df):
         import pandas as pd
-        df = df.sort_values("turn_idx")
-        comps = df[list(COMPONENT_FIELDS)].to_dict("records")
-        out = {"conv_id": [], "turn_a": [], "turn_b": [],
-               "similarity": [], "score": [], "match": []}
-        for i in range(len(df) - 1):
-            r = compare_components(comps[i], comps[i + 1])
-            out["conv_id"].append(df["conv_id"].iloc[i])
-            out["turn_a"].append(int(df["turn_idx"].iloc[i]))
-            out["turn_b"].append(int(df["turn_idx"].iloc[i + 1]))
-            out["similarity"].append(r["similarity"])
-            out["score"].append(r["score"])
-            out["match"].append(bool(r["match"]))
-        if out["conv_id"]:
-            return pd.DataFrame(out)
+        df = df.sort_values("turn_idx").reset_index(drop=True)
+        if len(df) < 2:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_a": pd.Series([], dtype="int64"),
+                "turn_b": pd.Series([], dtype="int64"),
+                "similarity": pd.Series([], dtype="float64"),
+                "score": pd.Series([], dtype="float64"),
+                "match": pd.Series([], dtype="bool"),
+            })
+        a = df.iloc[:-1].reset_index(drop=True)
+        b = df.iloc[1:].reset_index(drop=True)
+        pair = pd.DataFrame({f"l_{f}": a[f] for f in COMPONENT_FIELDS}
+                            | {f"r_{f}": b[f] for f in COMPONENT_FIELDS})
+        similarity, score, match = compare_components_batch(pair)
         return pd.DataFrame({
-            "conv_id": pd.Series([], dtype="object"),
-            "turn_a": pd.Series([], dtype="int64"),
-            "turn_b": pd.Series([], dtype="int64"),
-            "similarity": pd.Series([], dtype="float64"),
-            "score": pd.Series([], dtype="float64"),
-            "match": pd.Series([], dtype="bool"),
+            "conv_id": a["conv_id"],
+            "turn_a": a["turn_idx"].astype("int64"),
+            "turn_b": b["turn_idx"].astype("int64"),
+            "similarity": similarity,
+            "score": score,
+            "match": match,
         })
 
     cols = ["conv_id", "turn_idx"] + list(COMPONENT_FIELDS)

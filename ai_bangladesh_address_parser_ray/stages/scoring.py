@@ -101,6 +101,48 @@ def _score_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return out
 
 
+def compare_components_batch(df: pd.DataFrame):
+    """Vectorized twin of ``kernel.compare.compare_components`` over a
+    pair frame with ``l_<comp>`` / ``r_<comp>`` columns -> numpy arrays
+    ``(similarity, score, match)`` (the reference-parity SequenceMatcher
+    comparison, NOT the linkage ensemble: every non-equal both-present
+    pair runs seq_ratio). Same fast-path shape as :func:`_score_batch` —
+    exact lowercased equality decides sim=1.0 vectorized; only the
+    residual non-equal cells call the Python SequenceMatcher (rare after
+    extraction canonicalizes variants). Tests assert element-wise
+    equality with the scalar kernel."""
+    import numpy as np
+
+    from ..kernel.compare import seq_ratio
+
+    n = len(df)
+    ncomp = len(ALL_COMPONENTS)
+    sims = np.full((ncomp, n), np.nan)
+    for i, f in enumerate(ALL_COMPONENTS):
+        ls = df["l_" + f].fillna("").astype(str).str.strip().str.lower()
+        rs = df["r_" + f].fillna("").astype(str).str.strip().str.lower()
+        l, r = ls.to_numpy(), rs.to_numpy()
+        both = (l != "") & (r != "")
+        eq = both & (l == r)
+        sims[i, eq] = 1.0
+        for j in np.flatnonzero(both & ~eq):
+            sims[i, j] = seq_ratio(l[j], r[j])
+
+    present = ~np.isnan(sims)
+    n_present = present.sum(axis=0)
+    avg = np.where(n_present > 0,
+                   np.nansum(np.where(present, sims, 0.0), axis=0)
+                   / np.maximum(n_present, 1), 0.0)
+    w = np.array([COMPARE_WEIGHTS.get(f, 0.0) for f in ALL_COMPONENTS])
+    wp = present & (w[:, None] > 0)
+    tw = (w[:, None] * wp).sum(axis=0)
+    ws = np.nansum(np.where(wp, sims, 0.0) * w[:, None], axis=0)
+    score = np.where(tw > 0, ws / np.maximum(tw, 1e-12), avg)
+    # kernel order: match decided on the RAW score, outputs rounded after
+    match = score >= MATCH_THRESHOLD
+    return np.round(avg, 3), np.round(score, 3), match
+
+
 def score_pairs_stage(ds, threshold: float = MATCH_THRESHOLD,
                       batch_size: int = 2048):
     return ds.map_batches(

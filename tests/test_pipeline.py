@@ -358,6 +358,82 @@ class TestDedupExtract:
         assert out.loc[1, "house_number"] == "12"
 
 
+class _PoisonNER:
+    """Stand-in model whose predict raises on a marker text — used to
+    exercise the reference bulk error-row contract."""
+
+    def predict(self, text):
+        if "poison" in text:
+            raise RuntimeError("model exploded on marker")
+        return {}
+
+
+class TestBulkErrorRows:
+    def _batch(self):
+        import pyarrow as pa
+        return pa.table({
+            "norm_text": ["House 12, Road 5, Mirpur, Dhaka",
+                          "poison marker row",
+                          "Flat 2B, Banani, Dhaka"]})
+
+    def test_poison_row_becomes_error_row(self):
+        """Reference bulk contract (extractor.py:336-339): a row whose
+        extraction raises yields an error-result row (empty components,
+        confidence 0, error column) and the batch CONTINUES."""
+        from ai_bangladesh_address_parser_ray import COMPONENT_FIELDS
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            ExtractTurns)
+        fn = ExtractTurns(ner_model_factory=_PoisonNER,
+                          capture_errors=True)
+        out = fn(self._batch()).to_pandas()
+        assert out.loc[1, "error"].startswith("RuntimeError")
+        assert all(out.loc[1, f] == "" for f in COMPONENT_FIELDS)
+        assert out.loc[1, "overall_confidence"] == 0.0
+        # neighbours extract normally with empty error markers
+        assert out.loc[0, "house_number"] == "12"
+        assert out.loc[2, "area"] == "Banani"
+        assert (out.loc[[0, 2], "error"] == "").all()
+
+    def test_default_still_raises(self):
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            ExtractTurns)
+        fn = ExtractTurns(ner_model_factory=_PoisonNER)
+        with pytest.raises(RuntimeError, match="model exploded"):
+            fn(self._batch())
+
+    def test_error_rows_through_ray_stage(self, ray_session):
+        """End-to-end through the actor-pool map_batches path: the task
+        does not die; the poison turn flows out as an error row."""
+        import ray.data
+        from ai_bangladesh_address_parser_ray.stages.extract import (
+            extract_stage)
+        from ai_bangladesh_address_parser_ray.stages.normalize import (
+            normalize_stage)
+
+        # local class: cloudpickle ships it BY VALUE — a module-level test
+        # class would serialize by reference and deadlock the actor pool
+        # (workers cannot import tests.test_pipeline)
+        class PoisonNER:
+            def predict(self, text):
+                if "poison" in text:
+                    raise RuntimeError("model exploded on marker")
+                return {}
+
+        rows = [{"conv_id": "c1", "turn_idx": i, "role": "user",
+                 "text": t, "tool": "", "ts": 0}
+                for i, t in enumerate(
+                    ["House 12, Road 5, Mirpur, Dhaka",
+                     "poison marker row"])]
+        ds = normalize_stage(ray.data.from_items(rows))
+        out = extract_stage(ds, concurrency=2,
+                            ner_model_factory=PoisonNER,
+                            capture_errors=True) \
+            .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+        assert out.loc[0, "error"] == ""
+        assert out.loc[0, "house_number"] == "12"
+        assert out.loc[1, "error"].startswith("RuntimeError")
+
+
 class TestCollisionSafety:
     """64-bit hash-collision handling in the broadcast join-back and the
     dedup-extract distinct set (ADVICE round 2: a lo-hash collision must
