@@ -73,3 +73,36 @@ class TestBatchCommand:
         out_dir = tmp_path / "out_lim"
         assert main(["--batch", str(inp), str(out_dir), "--limit", "4"]) == 0
         assert pq.read_table(out_dir).num_rows == 4
+
+
+class TestReviewBands:
+    """tools/review_bands.py — the reference's cmd_split confidence-band
+    ladder (house_number_processor.py:1248-1324) re-expressed as a
+    partitioned-parquet Ray pass; band assignment is pure and unit-tested
+    here, the CLI plumbing is exercised manually (see tool docstring)."""
+
+    def test_band_ladder_boundaries(self):
+        import importlib
+        rb = importlib.import_module("tools.review_bands")
+        assert rb._band_of("", 0.99) == "no_component"
+        assert rb._band_of("12", -1.0) == "no_component"
+        assert rb._band_of("12", 1.0) == "1.excellent_95_100"
+        assert rb._band_of("12", 0.95) == "1.excellent_95_100"
+        assert rb._band_of("12", 0.9499) == "2.very_high_90_95"
+        assert rb._band_of("12", 0.85) == "3.high_85_90"
+        assert rb._band_of("12", 0.64) == "8.low_below_65"
+        assert rb._band_of("12", 0.0) == "8.low_below_65"
+
+    def test_band_batch_planted(self):
+        import importlib
+        rb = importlib.import_module("tools.review_bands")
+        t = pa.table({"text": [
+            "House 12, Road 5, Dhanmondi, Dhaka 1209",  # house extracted
+            "no address at all here",                   # no component
+        ]})
+        out = rb._band_batch(t, component="house_number", text_col="text")
+        d = out.to_pydict()
+        assert d["value"][0] == "12"
+        assert d["band"][0] != "no_component"
+        assert d["confidence"][0] >= 0.65
+        assert d["value"][1] == "" and d["band"][1] == "no_component"
