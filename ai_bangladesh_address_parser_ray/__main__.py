@@ -72,14 +72,22 @@ def cmd_batch(in_path: str, out_dir: str, detailed: bool,
     if profile:
         from .kernel.extract import stages_for_profile
         stages = stages_for_profile(profile)
+    # bulk surface: reference bulk_extract contract (extractor.py:336-339,
+    # :513-544 on_error) — a poison row becomes an error-result row
+    # (empty components + error column) instead of failing the batch job
     ds = extract_stage(ds, text_column=text_col, detailed=detailed,
-                       stages=stages)
+                       stages=stages, capture_errors=True)
     ds.write_parquet(out_dir)
-    n = ds.count()
+    # count from the WRITTEN single column — re-counting `ds` would
+    # re-execute the whole extraction plan a second time
+    written = ray.data.read_parquet(out_dir, columns=["error"])
+    n = written.count()
+    n_err = written.filter(expr="error != ''").count()
     dt = time.time() - t0
     # the reference --batch logs addresses/second (:1256) — same headline
-    print(f"wrote {n} extracted rows to {out_dir} in {dt:.1f}s "
-          f"({n / max(dt, 1e-9):,.0f} addresses/second)", file=sys.stderr)
+    print(f"wrote {n} extracted rows ({n_err} error rows) to {out_dir} "
+          f"in {dt:.1f}s ({n / max(dt, 1e-9):,.0f} addresses/second)",
+          file=sys.stderr)
     return 0
 
 

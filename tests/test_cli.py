@@ -61,6 +61,9 @@ class TestBatchCommand:
         assert got.loc[0, "house_number"] == "12"
         assert got.loc[0, "area"] == "Dhanmondi"
         assert got.loc[1, "district"] == "Chattogram"
+        # --batch is the bulk surface: error rows are captured, clean rows
+        # carry an empty error marker (reference bulk_extract contract)
+        assert (got["error"] == "").all()
         # borrowed pytest session must survive the command
         import ray
         assert ray.is_initialized()
