@@ -12,7 +12,9 @@ round 4 proved both that raw quotients are not hash-stable across driver
 environments (repetition_docs) and that library round() tie rules differ
 between numpy (half-even) and DuckDB (half-away on 77/128 = 0.6015625).
 Decision thresholds (filters, CASE arms, argmax) still compare RAW values
-identically on both sides; only outputs are rounded. Cross-engine cosine
+identically on both sides; only outputs are rounded. Two exemptions:
+raw-input passthroughs (MIN/MAX of stored doubles, literal band edges) are
+bit-exact by construction and stay unrounded, and cross-engine cosine
 scores keep the legacy np.round/SQL-round pairing that has matched on the
 driver since round 3.
 """
@@ -107,11 +109,20 @@ def _q_lineitem_pricing(sf_dir):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"])
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    from ai_bangladesh_address_parser_ray.functions.rounding import (
+        round6_arrow)
+
+    def _round_avg(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("avg_qty")
+        return batch.set_column(i, "avg_qty", round6_arrow(batch["avg_qty"]))
+
+    return (ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Mean("l_quantity", alias_name="avg_qty"),
         Count("l_quantity", alias_name="count_order"),
     ).sort(["l_returnflag", "l_linestatus"])
+        .map_batches(_round_avg, batch_format="pyarrow",
+                     zero_copy_batch=True))
 
 
 def _q_normalize_docs(sf_dir):
@@ -957,7 +968,8 @@ def oracle_sql() -> dict[str, str]:
                   " + (least(sr * 5.0, 1.0) * 0.3)")
             + r" AS quality FROM r"),
         "doc_stats_by_lang": (
-            "SELECT lang, COUNT(*) AS n_docs, AVG(n_chars) AS avg_chars, "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            + _r6("AVG(n_chars)") + " AS avg_chars, "
             "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
             "FROM documents GROUP BY lang ORDER BY lang"),
         "top_sources": (
@@ -969,7 +981,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY event_type"),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty, "
+            "SUM(l_quantity) AS sum_qty, "
+            + _r6("AVG(l_quantity)") + " AS avg_qty, "
             "COUNT(*) AS count_order FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"),
@@ -1005,9 +1018,10 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(b.embedding AS DOUBLE[])) >= {_DUP_TAU}"),
         "ngram_dup_pairs": (
             _SHINGLES_CTE +
-            f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
-            f"CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
-            f"/ len(list_distinct(list_concat(a.s, b.s))) AS jaccard "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            + _r6("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+                  "/ len(list_distinct(list_concat(a.s, b.s)))")
+            + " AS jaccard "
             f"FROM sh a, sh b WHERE a.doc_id < b.doc_id "
             f"AND len(list_intersect(a.s, b.s)) "
             f">= {_JACC_TAU} * len(list_distinct(list_concat(a.s, b.s)))"),

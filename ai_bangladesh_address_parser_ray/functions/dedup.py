@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
+from .rounding import round6_np
 from .hashing import (md5_hex, md5_low64, minhash_params, mix64, stable_u64,
                       token_ngram_hashes)
 
@@ -505,8 +506,11 @@ def _shingle_hash_sets(ds, text_col: str, id_col: str, shingle_n: int):
 
 
 def _pair_jaccards(sa_list, sb_list):
-    """Exact Jaccard per (sorted-unique uint64 set) pair.
-    int/int division: bit-identical to the SQL oracle, no rounding."""
+    """Exact Jaccard per (sorted-unique uint64 set) pair. int/int division
+    in the same operand order as the SQL oracle; callers keep the RAW
+    value for threshold decisions (matching the oracle's integer
+    cross-multiply predicate) and round only the EMITTED column
+    (round-5 float policy)."""
     n = len(sa_list)
     jac = np.empty(n, np.float64)
     for i in range(n):
@@ -585,10 +589,11 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 jac = _pair_jaccards(
                     [svals[soffs[j]:soffs[j + 1]] for j in ai],
                     [svals[soffs[j]:soffs[j + 1]] for j in bi])
-                out = batch.select(["a_id", "b_id"]).append_column(
-                    "jaccard", pa.array(jac, pa.float64()))
-                return out.filter(
-                    pa.compute.greater_equal(out["jaccard"], threshold))
+                keep = jac >= threshold          # decide on RAW
+                return (batch.select(["a_id", "b_id"])
+                        .filter(pa.array(keep))
+                        .append_column("jaccard", pa.array(
+                            round6_np(jac[keep]), pa.float64())))
 
             return cand.map_batches(_verify_bcast, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -606,9 +611,11 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         jac = _pair_jaccards(
             [np.frombuffer(x or b"", np.uint64) for x in a_blobs],
             [np.frombuffer(x or b"", np.uint64) for x in b_blobs])
-        out = batch.select(["a_id", "b_id"]).append_column(
-            "jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+        keep = jac >= threshold                  # decide on RAW
+        return (batch.select(["a_id", "b_id"])
+                .filter(pa.array(keep))
+                .append_column("jaccard", pa.array(
+                    round6_np(jac[keep]), pa.float64())))
 
     return j.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
 

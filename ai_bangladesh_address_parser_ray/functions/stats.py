@@ -26,14 +26,25 @@ def group_stats(ds, key: str, value_col: str):
 def doc_stats_by_lang(ds):
     """documents stats per lang: n_docs, avg/min/max n_chars.
 
-    avg of int64 is sum/count with an exactly-representable integer sum, so
-    the double is bit-identical to DuckDB's AVG — no rounding."""
-    return ds.select_columns(["lang", "n_chars"]).groupby("lang").aggregate(
+    avg of int64 is sum/count with an exactly-representable integer sum
+    (bit-identical to DuckDB's AVG); the emitted avg is still rounded to
+    6dp on both sides per the round-5 float policy (min/max are raw input
+    passthroughs and stay exact)."""
+    from .rounding import round6_arrow
+
+    def _round_avg(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("avg_chars")
+        return batch.set_column(i, "avg_chars",
+                                round6_arrow(batch["avg_chars"]))
+
+    return (ds.select_columns(["lang", "n_chars"]).groupby("lang").aggregate(
         Count("n_chars", alias_name="n_docs"),
         Mean("n_chars", alias_name="avg_chars"),
         Min("n_chars", alias_name="min_chars"),
         Max("n_chars", alias_name="max_chars"),
     ).sort("lang")
+        .map_batches(_round_avg, batch_format="pyarrow",
+                     zero_copy_batch=True))
 
 
 def top_k_by_count(ds, key: str, k: int = 10):
