@@ -109,3 +109,33 @@ class TestReviewBands:
         assert d["band"][0] != "no_component"
         assert d["confidence"][0] >= 0.65
         assert d["value"][1] == "" and d["band"][1] == "no_component"
+
+    def test_split_partitions_and_histogram(self, ray_session, tmp_path):
+        """split writes one parquet partition per band (the reference's
+        per-band review directories) and the histogram sums to the input;
+        reading a partition back re-materializes its band value."""
+        import importlib
+
+        import ray.data
+        rb = importlib.import_module("tools.review_bands")
+        inp = tmp_path / "in.parquet"
+        pq.write_table(pa.table({
+            "row_id": pa.array(range(4), pa.int64()),
+            "text": ["House 12, Road 5, Dhanmondi, Dhaka 1209",
+                     "House 12, Road 5, Dhanmondi, Dhaka 1209",
+                     "Holding 7, Agrabad, Chittagong",
+                     "nothing here"],
+        }), inp)
+        out_dir = tmp_path / "bands"
+        ds = ray.data.read_parquet(str(inp))
+        banded = rb._banded(ds, "house_number", "text")
+        banded.write_parquet(str(out_dir), partition_cols=["band"])
+        hist = rb._histogram(ray.data.read_parquet(str(out_dir)))
+        assert sum(hist.values()) == 4
+        assert hist.get("no_component") == 1
+        parts = sorted(p.name for p in out_dir.iterdir())
+        assert any(p.startswith("band=") for p in parts)
+        # every non-empty band partition reads back with its band value
+        for p in parts:
+            got = pq.read_table(str(out_dir / p)).to_pydict()
+            assert len(got["value"]) >= 1
