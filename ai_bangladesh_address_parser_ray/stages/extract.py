@@ -14,6 +14,14 @@ Two physical modes, same semantics:
   CLASS on an actor pool, for genuinely expensive per-worker state (a
   loaded NER model) where explicit pool sizing beats elastic tasks.
 
+Reference bulk hooks (``extractor.py:513-544`` ``bulk_extract(on_progress,
+on_error)``): ``on_error`` maps to ``capture_errors=True`` (poison rows
+become error-result rows, the batch continues); ``on_progress`` maps to
+Ray Data's native per-operator progress reporting plus the pipeline's
+per-phase wall/rows metrics (``pipelines/linkage.py``) — a per-row driver
+callback would serialize a distributed pipeline and is deliberately not
+reproduced.
+
 ``dedup_extract_stage`` replaces the reference's memo cache
 (``src/core/extractor.py:129-141``) with the scale-correct equivalent:
 shuffle distinct ``norm_text`` (SHUFFLE 1), extract each distinct string
