@@ -306,3 +306,44 @@ class TestCodecProperties:
         assert out.shape == (5, 7)
         # resize output only contains source pixels
         assert set(np.unique(out)) <= set(np.unique(img))
+
+
+class TestRoundingProperties:
+    """functions/rounding.py is the oracle-hash load-bearing wall: the
+    floor round must evaluate bit-identically in numpy, pyarrow, scalar
+    Python and DuckDB SQL for ANY double, including exact dyadic ties
+    (77/128) where library round() implementations disagree."""
+
+    @given(st.lists(st.one_of(
+        st.floats(min_value=-2.0, max_value=2.0,
+                  allow_nan=False, allow_infinity=False),
+        # integer quotients — the ratio shape every oracle emits
+        st.tuples(st.integers(0, 10_000), st.integers(1, 10_000))
+        .map(lambda p: p[0] / p[1]),
+        # dyadic rationals: exact ties at the 6th decimal
+        st.tuples(st.integers(0, 1 << 12), st.integers(0, 12))
+        .map(lambda p: p[0] / (1 << p[1])),
+    ), min_size=1, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_four_implementations_bit_identical(self, xs):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+
+        from ai_bangladesh_address_parser_ray.functions.rounding import (
+            round6_arrow, round6_np, round6_scalar, sql_round6)
+        arr = np.asarray(xs, np.float64)
+        a = round6_np(arr)
+        b = round6_arrow(pa.array(arr)).to_numpy()
+        c = np.asarray([round6_scalar(float(v)) for v in xs])
+        con = duckdb.connect()
+        con.register("t", pa.table({"x": arr}))
+        d = con.sql("SELECT " + sql_round6("x")
+                    + " AS r FROM t").fetchnumpy()["r"]
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c)
+        assert np.array_equal(a, d)
+        # idempotent: rounding a rounded value is a fixed point
+        assert np.array_equal(a, round6_np(a))
+        # within half an ulp-of-6dp of the input
+        assert np.all(np.abs(a - arr) <= 5.0000001e-7)
